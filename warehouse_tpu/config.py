@@ -1,0 +1,142 @@
+"""Frozen configuration dataclasses.
+
+Static fields (grid size, agent count, queue capacity, obs radius) are
+SHAPES on TPU: they feed ``jit`` as compile-time constants, and changing
+them triggers recompilation (SURVEY.md §5.6). Capability parity with the
+reference's ``env_config`` dict + RLlib ``AlgorithmConfig`` (reference
+unreadable this round — see SURVEY.md §0; spec in docs/SEMANTICS.md §12).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Warehouse environment configuration (docs/SEMANTICS.md §12)."""
+
+    height: int = 9
+    width: int = 9
+    num_agents: int = 4
+    queue_capacity: int = 8
+    spawn_prob: float = 0.25
+    init_requests: int = 4
+    max_steps: int = 128
+    obs_radius: int = 2
+    global_obs: bool = False
+    # Rewards (docs/SEMANTICS.md §8). Penalties are negative values.
+    delivery_reward: float = 1.0
+    pickup_reward: float = 0.1
+    step_penalty: float = -0.01
+    collision_penalty: float = -0.1
+    auto_reset: bool = False
+
+    def __post_init__(self) -> None:
+        if self.height < 1 or self.width < 1:
+            raise ValueError("grid must be at least 1x1")
+        if self.num_agents < 1 or self.num_agents > self.height * self.width:
+            raise ValueError("num_agents must fit on the grid")
+        if self.init_requests > self.queue_capacity:
+            raise ValueError("init_requests exceeds queue_capacity")
+        if self.obs_radius < 0:
+            raise ValueError("obs_radius must be >= 0")
+        if not 0.0 <= self.spawn_prob <= 1.0:
+            raise ValueError("spawn_prob must be in [0, 1]")
+
+    # ---- derived shapes -------------------------------------------------
+    @property
+    def num_cells(self) -> int:
+        return self.height * self.width
+
+    @property
+    def window_size(self) -> int:
+        return 2 * self.obs_radius + 1
+
+    @property
+    def obs_dim(self) -> int:
+        """Flat per-agent observation length (docs/SEMANTICS.md §10)."""
+        if self.global_obs:
+            return 4 * self.height * self.width + 6
+        return 4 * self.window_size * self.window_size + 6
+
+    @property
+    def num_actions(self) -> int:
+        return 5
+
+    # ---- (de)serialization ---------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "EnvConfig":
+        return cls(**d)
+
+    def replace(self, **kw: Any) -> "EnvConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Driver benchmark configs (BASELINE.md; queue_capacity = 2*A,
+# init_requests = A per docs/SEMANTICS.md §12).
+def small_config(**kw: Any) -> EnvConfig:
+    """5x5, 2 agents — BASELINE.json config 1 (PR1 parity rig)."""
+    base = dict(height=5, width=5, num_agents=2, queue_capacity=4,
+                init_requests=2)
+    base.update(kw)
+    return EnvConfig(**base)
+
+
+def medium_config(**kw: Any) -> EnvConfig:
+    """9x9, 4 agents — BASELINE.json configs 2 & 4."""
+    base = dict(height=9, width=9, num_agents=4, queue_capacity=8,
+                init_requests=4)
+    base.update(kw)
+    return EnvConfig(**base)
+
+
+def large_config(**kw: Any) -> EnvConfig:
+    """15x15, 8 agents — BASELINE.json config 3 (stress)."""
+    base = dict(height=15, width=15, num_agents=8, queue_capacity=16,
+                init_requests=8)
+    base.update(kw)
+    return EnvConfig(**base)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """PPO actor-learner configuration (SURVEY.md §7 PR4)."""
+
+    num_envs: int = 4096          # global env batch (sharded over `data` axis)
+    unroll_length: int = 16       # T: lax.scan rollout length per update
+    num_updates: int = 200
+    # PPO
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    entropy_coef: float = 0.01
+    value_coef: float = 0.5
+    ppo_epochs: int = 4
+    num_minibatches: int = 4
+    learning_rate: float = 3e-4
+    max_grad_norm: float = 0.5
+    anneal_lr: bool = True
+    # Model
+    hidden_dim: int = 128
+    num_layers: int = 2
+    # Infra
+    seed: int = 0
+    checkpoint_every: int = 50
+    checkpoint_dir: str = "checkpoints"
+    metrics_path: str = "metrics.jsonl"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TrainConfig":
+        return cls(**d)
+
+    def replace(self, **kw: Any) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

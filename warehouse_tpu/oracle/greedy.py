@@ -1,0 +1,36 @@
+"""NumPy greedy nearest-request baseline solver (docs/SEMANTICS.md §12).
+
+Capability parity with the reference's greedy baseline (BASELINE.json:5,
+SURVEY.md C11; reference unreadable this round). The JAX batched twin is
+``warehouse_tpu/baselines/greedy.py`` and must match this bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import EnvConfig
+from .env import OracleState
+
+STAY, UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3, 4
+
+
+def greedy_actions(cfg: EnvConfig, s: OracleState) -> np.ndarray:
+    """Per-agent greedy action from privileged state."""
+    A = cfg.num_agents
+    actions = np.zeros(A, dtype=np.int64)
+    for i in range(A):
+        r = s.agent_req[i]
+        if r < 0:
+            actions[i] = STAY
+            continue
+        target = s.req_drop[r] if s.carrying[i] else s.req_pickup[r]
+        drow = int(target[0] - s.agent_pos[i][0])
+        dcol = int(target[1] - s.agent_pos[i][1])
+        if drow != 0:
+            actions[i] = UP if drow < 0 else DOWN
+        elif dcol != 0:
+            actions[i] = LEFT if dcol < 0 else RIGHT
+        else:
+            actions[i] = STAY
+    return actions

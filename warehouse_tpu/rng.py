@@ -1,0 +1,71 @@
+"""Canonical random-draw streams (docs/SEMANTICS.md §9).
+
+These functions ARE the spec of the environment's randomness: the JAX
+engine calls them inside ``jit``; the NumPy oracle's ``JaxDrawSource``
+calls them eagerly on CPU and feeds the resulting scalars into the pure
+NumPy dynamics — which is what makes oracle ≡ engine bit-exact parity
+possible (SURVEY.md §7 "pluggable RNG from day 1").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import EnvConfig
+
+
+class ResetDraws(NamedTuple):
+    carry_key: jax.Array   # becomes state.key
+    agent_cells: jax.Array  # int32[A] row-major cell ids, distinct
+    req_pick: jax.Array     # int32[init_requests]
+    req_drop: jax.Array     # int32[init_requests]
+
+
+class StepDraws(NamedTuple):
+    next_key: jax.Array    # becomes state.key
+    reset_key: jax.Array   # used iff this tick auto-resets
+    spawn_u: jax.Array     # float32 in [0, 1)
+    spawn_pick: jax.Array  # int32 cell id
+    spawn_drop: jax.Array  # int32 cell id
+
+
+def reset_draws(key: jax.Array, cfg: EnvConfig) -> ResetDraws:
+    """Draws for ``reset`` (docs/SEMANTICS.md §9)."""
+    carry_key, pos_key, req_key = jax.random.split(key, 3)
+    perm = jax.random.permutation(pos_key, cfg.num_cells)
+    agent_cells = perm[: cfg.num_agents].astype(jnp.int32)
+    n = max(cfg.init_requests, 1)  # avoid zero-size vmap; sliced below
+    slots = jnp.arange(n)
+    pick = jax.vmap(
+        lambda s: jax.random.randint(
+            jax.random.fold_in(req_key, 2 * s), (), 0, cfg.num_cells
+        )
+    )(slots)
+    drop = jax.vmap(
+        lambda s: jax.random.randint(
+            jax.random.fold_in(req_key, 2 * s + 1), (), 0, cfg.num_cells
+        )
+    )(slots)
+    k = cfg.init_requests
+    return ResetDraws(
+        carry_key,
+        agent_cells,
+        pick[:k].astype(jnp.int32),
+        drop[:k].astype(jnp.int32),
+    )
+
+
+def step_draws(key: jax.Array, cfg: EnvConfig) -> StepDraws:
+    """Draws for one ``step`` tick (docs/SEMANTICS.md §9)."""
+    next_key, sk, reset_key = jax.random.split(key, 3)
+    u = jax.random.uniform(jax.random.fold_in(sk, 0))
+    pick = jax.random.randint(
+        jax.random.fold_in(sk, 1), (), 0, cfg.num_cells
+    ).astype(jnp.int32)
+    drop = jax.random.randint(
+        jax.random.fold_in(sk, 2), (), 0, cfg.num_cells
+    ).astype(jnp.int32)
+    return StepDraws(next_key, reset_key, u, pick, drop)
