@@ -1,0 +1,129 @@
+"""PPO learner tests (SURVEY.md §4.4)."""
+
+import numpy as np
+import pytest
+
+from warehouse_tpu import EnvConfig, TrainConfig, small_config
+
+
+def make_tiny_trainer(mesh=None, **tkw):
+    from warehouse_tpu.train.ppo import make_train
+
+    cfg = small_config(max_steps=16)
+    t = dict(num_envs=16, unroll_length=4, num_minibatches=2, ppo_epochs=2,
+             hidden_dim=32)
+    t.update(tkw)
+    return make_train(cfg, TrainConfig(**t), mesh=mesh)
+
+
+def test_train_step_smoke():
+    import jax
+
+    trainer = make_tiny_trainer()
+    rs = trainer.init(jax.random.PRNGKey(0))
+    rs, m = trainer.train_step(rs)
+    assert int(rs.update_idx) == 1
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert float(m["entropy"]) > 0
+
+
+def test_reproducible():
+    import jax
+
+    trainer = make_tiny_trainer()
+    rs1 = trainer.init(jax.random.PRNGKey(7))
+    rs2 = trainer.init(jax.random.PRNGKey(7))
+    for _ in range(2):
+        rs1, m1 = trainer.train_step(rs1)
+        rs2, m2 = trainer.train_step(rs2)
+    leaves1 = jax.tree.leaves(rs1.params)
+    leaves2 = jax.tree.leaves(rs2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_params_change_and_finite():
+    import jax
+
+    trainer = make_tiny_trainer()
+    rs = trainer.init(jax.random.PRNGKey(1))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), rs.params)
+    rs, _ = trainer.train_step(rs)
+    after = rs.params
+    changed = False
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        b = np.asarray(b)
+        assert np.isfinite(b).all()
+        changed |= not np.array_equal(np.asarray(a), b)
+    assert changed, "params did not change after an update"
+
+
+def test_train_many_matches_stepwise():
+    import jax
+
+    trainer = make_tiny_trainer()
+    rs_a = trainer.init(jax.random.PRNGKey(3))
+    rs_b = trainer.init(jax.random.PRNGKey(3))
+    for _ in range(3):
+        rs_a, _ = trainer.train_step(rs_a)
+    rs_b, _ = trainer.train_many(rs_b, 3)
+    for a, b in zip(jax.tree.leaves(rs_a.params), jax.tree.leaves(rs_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+def test_gae_matches_numpy_reference():
+    """Hand-rolled NumPy GAE vs the scan implementation."""
+    import jax.numpy as jnp
+
+    from warehouse_tpu.ops.gae import gae
+
+    rng = np.random.default_rng(0)
+    T, B = 12, 5
+    rewards = rng.normal(size=(T, B)).astype(np.float32)
+    values = rng.normal(size=(T, B)).astype(np.float32)
+    dones = rng.random((T, B)) < 0.2
+    last_v = rng.normal(size=(B,)).astype(np.float32)
+    gamma, lam = 0.97, 0.9
+
+    adv_ref = np.zeros((T, B), np.float32)
+    next_adv = np.zeros(B, np.float32)
+    next_val = last_v
+    for t in reversed(range(T)):
+        nd = 1.0 - dones[t].astype(np.float32)
+        delta = rewards[t] + gamma * next_val * nd - values[t]
+        next_adv = delta + gamma * lam * nd * next_adv
+        adv_ref[t] = next_adv
+        next_val = values[t]
+
+    adv, tgt = gae(jnp.array(rewards), jnp.array(values), jnp.array(dones),
+                   jnp.array(last_v), gamma, lam)
+    np.testing.assert_allclose(np.asarray(adv), adv_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tgt), adv_ref + values, rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_ppo_learns_tiny_env():
+    """PPO improves delivery rate on a trivial 3x3/1-agent env
+    (SURVEY.md §4.4 fast smoke)."""
+    import jax
+
+    from warehouse_tpu.train.ppo import make_train
+
+    cfg = EnvConfig(height=3, width=3, num_agents=1, queue_capacity=2,
+                    init_requests=1, max_steps=24, spawn_prob=0.6,
+                    obs_radius=2)
+    tcfg = TrainConfig(num_envs=128, unroll_length=24, num_updates=40,
+                       num_minibatches=4, ppo_epochs=4, hidden_dim=64,
+                       learning_rate=1e-3, entropy_coef=0.02,
+                       anneal_lr=False)
+    trainer = make_train(cfg, tcfg)
+    rs = trainer.init(jax.random.PRNGKey(0))
+    rs, m0 = trainer.train_many(rs, 5)
+    early = float(np.mean(np.asarray(m0["deliveries_per_env_step"])))
+    rs, m1 = trainer.train_many(rs, 35)
+    late = float(np.mean(np.asarray(m1["deliveries_per_env_step"])[-5:]))
+    assert late > early * 1.3 + 1e-4, f"no learning: early={early} late={late}"

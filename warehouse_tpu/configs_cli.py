@@ -1,0 +1,40 @@
+"""Shared argparse → EnvConfig plumbing for the CLI entry points."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .config import EnvConfig, large_config, medium_config, small_config
+
+_PRESETS = {
+    "small": small_config,
+    "medium": medium_config,
+    "large": large_config,
+}
+
+
+def add_env_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--env", choices=sorted(_PRESETS), default="medium",
+                   help="preset: small=5x5/2ag, medium=9x9/4ag, large=15x15/8ag")
+    p.add_argument("--env-config", default=None,
+                   help="JSON dict of EnvConfig overrides")
+    p.add_argument("--global-obs", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the TPU plugin overrides "
+                        "JAX_PLATFORMS, so this is the reliable switch)")
+
+
+def apply_backend_args(args) -> None:
+    """Must run before any jax computation; safe to call multiple times."""
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def env_config_from_args(args) -> EnvConfig:
+    overrides = json.loads(args.env_config) if args.env_config else {}
+    if getattr(args, "global_obs", False):
+        overrides["global_obs"] = True
+    return _PRESETS[args.env](**overrides)

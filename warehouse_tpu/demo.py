@@ -1,0 +1,77 @@
+"""Demo CLI: ``python -m warehouse_tpu.demo`` (SURVEY.md §3.3, C13).
+
+Rolls a greedy-baseline (or random) episode and prints per-step ASCII
+renders and the episode summary — the reference's demo script capability,
+running on whatever backend JAX picks (TPU if present).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .configs_cli import add_env_args, apply_backend_args, env_config_from_args
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("warehouse_tpu.demo")
+    add_env_args(p)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps", type=int, default=None,
+                   help="default: env max_steps")
+    p.add_argument("--policy", choices=["greedy", "random"],
+                   default="greedy")
+    p.add_argument("--render", action="store_true")
+    p.add_argument("--backend", choices=["jax", "oracle"], default="jax")
+    args = p.parse_args(argv)
+
+    apply_backend_args(args)
+    cfg = env_config_from_args(args)
+    steps = args.steps or cfg.max_steps
+
+    from .env.wrapper import WarehouseMultiAgentEnv
+
+    env = WarehouseMultiAgentEnv(cfg, backend=args.backend)
+    obs, _ = env.reset(seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+
+    returns = {a: 0.0 for a in env.possible_agents}
+    deliveries = 0
+    if args.render:
+        print(env.render())
+    for t in range(steps):
+        if args.policy == "greedy":
+            if args.backend == "oracle":
+                from .oracle import greedy_actions
+
+                acts = greedy_actions(cfg, env.state)
+            else:
+                from .baselines.greedy import greedy_actions
+
+                acts = np.asarray(greedy_actions(cfg, env.state))
+            action_dict = {
+                a: int(acts[i]) for i, a in enumerate(env.possible_agents)
+            }
+        else:
+            action_dict = {
+                a: int(rng.integers(0, cfg.num_actions))
+                for a in env.possible_agents
+            }
+        obs, rew, term, trunc, info = env.step(action_dict)
+        deliveries += sum(info[a]["delivered"] for a in env.possible_agents)
+        for a in env.possible_agents:
+            returns[a] += rew[a]
+        if args.render:
+            print(env.render())
+        if trunc["__all__"] or term["__all__"]:
+            break
+    print(f"episode finished after {t + 1} steps")
+    print(f"deliveries: {deliveries}")
+    for a, r in returns.items():
+        print(f"  {a}: return {r:.3f}")
+    print(f"mean return: {np.mean(list(returns.values())):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,5 +3,6 @@
 from .move import resolve_moves
 from .assign import assign_requests
 from .obs import observe
+from .gae import gae
 
-__all__ = ["resolve_moves", "assign_requests", "observe"]
+__all__ = ["resolve_moves", "assign_requests", "observe", "gae"]

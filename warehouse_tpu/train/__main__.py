@@ -1,0 +1,120 @@
+"""Train CLI: ``python -m warehouse_tpu.train`` (SURVEY.md §3.4).
+
+Capability parity with the reference's ``train.py`` entry (SURVEY.md L5,
+§3.1), replacing ray.init + RLlib PPO with the on-device actor-learner:
+every host runs this same program; the mesh spans all global devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+from ..config import TrainConfig
+from ..configs_cli import add_env_args, apply_backend_args, env_config_from_args
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser("warehouse_tpu.train")
+    add_env_args(p)
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--unroll-length", type=int, default=16)
+    p.add_argument("--num-updates", type=int, default=200)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--ppo-epochs", type=int, default=4)
+    p.add_argument("--num-minibatches", type=int, default=4)
+    p.add_argument("--entropy-coef", type=float, default=0.01)
+    p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--metrics-path", default="metrics.jsonl")
+    p.add_argument("--tensorboard-dir", default=None)
+    p.add_argument("--single-device", action="store_true",
+                   help="skip mesh/shard_map even with multiple devices")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax profiler trace of updates 3-5 here")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    log = logging.getLogger("warehouse_tpu")
+
+    apply_backend_args(args)
+
+    from ..parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
+    import jax
+
+    from ..parallel.mesh import make_mesh
+    from .checkpoint import restore_latest, save
+    from .metrics import MetricsLogger
+    from .ppo import make_train
+
+    env_cfg = env_config_from_args(args)
+    tcfg = TrainConfig(
+        num_envs=args.num_envs,
+        unroll_length=args.unroll_length,
+        num_updates=args.num_updates,
+        learning_rate=args.lr,
+        ppo_epochs=args.ppo_epochs,
+        num_minibatches=args.num_minibatches,
+        entropy_coef=args.entropy_coef,
+        hidden_dim=args.hidden_dim,
+        seed=args.seed,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint_dir,
+        metrics_path=args.metrics_path,
+    )
+
+    devices = jax.devices()
+    mesh = None
+    if len(devices) > 1 and not args.single_device:
+        mesh = make_mesh(devices)
+        log.info("mesh: %s", mesh)
+    log.info("devices: %d  env: %s", len(devices), env_cfg.to_json())
+
+    trainer = make_train(env_cfg, tcfg, arch=args.arch, mesh=mesh)
+    rs = trainer.shard_runner_state(trainer.init(jax.random.PRNGKey(args.seed)))
+
+    start_update = 0
+    if args.resume:
+        restored = restore_latest(args.checkpoint_dir, rs)
+        if restored is not None:
+            start_update, rs = restored
+            log.info("resumed from update %d", start_update)
+
+    metrics = MetricsLogger(args.metrics_path, args.tensorboard_dir)
+    steps_per_update = tcfg.num_envs * tcfg.unroll_length
+    t_last = time.time()
+    for u in range(start_update, tcfg.num_updates, args.log_every):
+        n = min(args.log_every, tcfg.num_updates - u)
+        if args.profile_dir and u == args.log_every:
+            jax.profiler.start_trace(args.profile_dir)
+        rs, ms = trainer.train_many(rs, n)
+        jax.block_until_ready(rs.params)
+        if args.profile_dir and u == args.log_every:
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to %s", args.profile_dir)
+        dt = time.time() - t_last
+        t_last = time.time()
+        scalars = {k: float(v[-1]) for k, v in ms.items()}
+        scalars["env_steps_per_sec"] = steps_per_update * n / dt
+        metrics.log(u + n, scalars)
+        if args.checkpoint_every and (u + n) % args.checkpoint_every == 0:
+            path = save(args.checkpoint_dir, u + n, rs)
+            log.info("checkpoint: %s", path)
+    metrics.close()
+    log.info("done: %d updates, %d env steps", tcfg.num_updates,
+             tcfg.num_updates * steps_per_update)
+
+
+if __name__ == "__main__":
+    main()

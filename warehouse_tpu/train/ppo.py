@@ -1,0 +1,314 @@
+"""On-device PPO actor-learner (SURVEY.md §3.4, §7 PR4).
+
+Anakin-style architecture (cf. PAPERS.md "Large Batch Simulation for Deep
+RL"): the same chips alternate acting — a ``lax.scan`` of (policy forward,
+env step) over the unroll length — and learning — GAE + clipped-PPO
+minibatch epochs — inside ONE jitted program. This collapses the
+reference stack's RolloutWorker-actors/learner-driver split (SURVEY.md
+§3.1) and removes every host↔device trajectory transfer.
+
+Multi-device: the whole train step runs under ``shard_map`` over the
+``data`` mesh axis — env batch sharded, params replicated, one grad
+``pmean`` per update (SURVEY.md §2.4). One shared policy acts for all
+agents (parameter sharing over the agent axis, SURVEY.md C12).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import PartitionSpec as P
+
+from ..config import EnvConfig, TrainConfig
+from ..env import engine
+from ..models import make_model
+from ..ops.gae import gae
+from ..parallel.mesh import DATA_AXIS
+
+
+@struct.dataclass
+class RunnerState:
+    params: Any
+    opt_state: Any
+    env_state: Any          # EnvState with leading [B_local] (sharded)
+    obs: jax.Array          # float32[B_local, A, obs_dim] (sharded)
+    key: jax.Array          # uint32[n_shards, 2] (sharded: one key/shard)
+    update_idx: jax.Array   # int32 (replicated)
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+
+
+def make_train(
+    env_cfg: EnvConfig,
+    tcfg: TrainConfig,
+    arch: str = "mlp",
+    mesh=None,
+):
+    """Build (init_fn, train_step_fn, model, tx).
+
+    With ``mesh``: ``init(key)`` returns a sharded RunnerState and
+    ``train_step`` is a jitted shard_map over the ``data`` axis.
+    Without: single-device jit. ``num_envs`` is the GLOBAL batch.
+    """
+    env_cfg = env_cfg.replace(auto_reset=True)
+    model = make_model(env_cfg, arch=arch, hidden_dim=tcfg.hidden_dim,
+                       num_layers=tcfg.num_layers)
+
+    n_shards = 1 if mesh is None else mesh.shape[DATA_AXIS]
+    if tcfg.num_envs % max(n_shards, 1):
+        raise ValueError(
+            f"num_envs={tcfg.num_envs} not divisible by {n_shards} shards"
+        )
+    b_local = tcfg.num_envs // n_shards
+    batch_per_shard = tcfg.unroll_length * b_local * env_cfg.num_agents
+    if batch_per_shard % tcfg.num_minibatches:
+        raise ValueError("T*B_local*A must divide into num_minibatches")
+
+    if tcfg.anneal_lr:
+        total_steps = (
+            tcfg.num_updates * tcfg.ppo_epochs * tcfg.num_minibatches
+        )
+        lr = optax.linear_schedule(tcfg.learning_rate, 0.0, total_steps)
+    else:
+        lr = tcfg.learning_rate
+    tx = optax.chain(
+        optax.clip_by_global_norm(tcfg.max_grad_norm),
+        optax.adam(lr, eps=1e-5),
+    )
+
+    # ---------------------------------------------------------------- init
+    def init(key: jax.Array) -> RunnerState:
+        pkey, ekey, skey = jax.random.split(key, 3)
+        dummy = jnp.zeros((1, env_cfg.obs_dim), jnp.float32)
+        params = model.init(pkey, dummy)
+        opt_state = tx.init(params)
+        env_keys = jax.vmap(
+            lambda i: jax.random.fold_in(ekey, i)
+        )(jnp.arange(tcfg.num_envs))
+        env_state, obs = jax.vmap(lambda k: engine.reset(env_cfg, k))(env_keys)
+        shard_keys = jax.vmap(
+            lambda i: jax.random.fold_in(skey, i)
+        )(jnp.arange(max(n_shards, 1)))
+        return RunnerState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            key=shard_keys,
+            update_idx=jnp.int32(0),
+        )
+
+    # -------------------------------------------------------- one update
+    def _train_step_local(rs: RunnerState):
+        """One PPO update on this shard's slice; pmean over `data` if meshed."""
+        params = rs.params
+        key = rs.key.reshape(2)  # this shard's key (uint32[1, 2] block)
+
+        def env_step(carry, _):
+            env_state, obs, key = carry
+            key, akey = jax.random.split(key)
+            logits, value = model.apply(params, obs)      # [B, A, 5], [B, A]
+            action = jax.random.categorical(akey, logits)  # [B, A]
+            log_prob = jnp.take_along_axis(
+                jax.nn.log_softmax(logits), action[..., None], axis=-1
+            ).squeeze(-1)
+            env_state, ts = jax.vmap(
+                lambda s, a: engine.step(env_cfg, s, a)
+            )(env_state, action.astype(jnp.int32))
+            done = jnp.broadcast_to(
+                ts.truncated[:, None], ts.reward.shape
+            )  # [B, A]
+            tr = Transition(obs, action, log_prob, value, ts.reward, done)
+            return (env_state, ts.obs, key), (tr, ts.delivered)
+
+        (env_state, last_obs, key), (traj, delivered) = jax.lax.scan(
+            env_step, (rs.env_state, rs.obs, key), None,
+            length=tcfg.unroll_length,
+        )
+
+        _, last_value = model.apply(params, last_obs)
+        advantages, targets = gae(
+            traj.reward, traj.value, traj.done, last_value,
+            tcfg.gamma, tcfg.gae_lambda,
+        )
+
+        # Flatten [T, B, A] → [N] for minibatching.
+        def flat(x):
+            return x.reshape(batch_per_shard, *x.shape[3:])
+
+        batch = (
+            flat(traj.obs), flat(traj.action), flat(traj.log_prob),
+            flat(traj.value), flat(advantages), flat(targets),
+        )
+
+        def loss_fn(params, mb):
+            obs, action, old_lp, old_v, adv, tgt = mb
+            logits, value = model.apply(params, obs)
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits), action[..., None], axis=-1
+            ).squeeze(-1)
+            ratio = jnp.exp(lp - old_lp)
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+            pg1 = ratio * adv_n
+            pg2 = jnp.clip(ratio, 1 - tcfg.clip_eps, 1 + tcfg.clip_eps) * adv_n
+            pg_loss = -jnp.minimum(pg1, pg2).mean()
+            v_clip = old_v + jnp.clip(
+                value - old_v, -tcfg.clip_eps, tcfg.clip_eps
+            )
+            v_loss = 0.5 * jnp.maximum(
+                (value - tgt) ** 2, (v_clip - tgt) ** 2
+            ).mean()
+            probs = jax.nn.softmax(logits)
+            entropy = -(probs * jnp.log(probs + 1e-10)).sum(-1).mean()
+            total = (
+                pg_loss + tcfg.value_coef * v_loss
+                - tcfg.entropy_coef * entropy
+            )
+            return total, (pg_loss, v_loss, entropy)
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, pkey = jax.random.split(key)
+            perm = jax.random.permutation(pkey, batch_per_shard)
+            mb_size = batch_per_shard // tcfg.num_minibatches
+            shuffled = jax.tree.map(lambda x: x[perm], batch)
+            minibatches = jax.tree.map(
+                lambda x: x.reshape(
+                    tcfg.num_minibatches, mb_size, *x.shape[1:]
+                ),
+                shuffled,
+            )
+
+            def mb_update(carry, mb):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, mb)
+                if mesh is not None:
+                    grads = jax.lax.pmean(grads, DATA_AXIS)
+                    loss = jax.lax.pmean(loss, DATA_AXIS)
+                    aux = jax.lax.pmean(aux, DATA_AXIS)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            (params, opt_state), losses = jax.lax.scan(
+                mb_update, (params, opt_state), minibatches
+            )
+            return (params, opt_state, key), losses
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            epoch, (params, rs.opt_state, key), None, length=tcfg.ppo_epochs
+        )
+
+        mean_reward = traj.reward.mean()
+        deliveries = delivered.sum(dtype=jnp.float32) / (
+            tcfg.unroll_length * b_local
+        )
+        if mesh is not None:
+            mean_reward = jax.lax.pmean(mean_reward, DATA_AXIS)
+            deliveries = jax.lax.pmean(deliveries, DATA_AXIS)
+        metrics = {
+            "loss": losses[0].mean(),
+            "pg_loss": losses[1].mean(),
+            "v_loss": losses[2].mean(),
+            "entropy": losses[3].mean(),
+            "reward_per_step": mean_reward,
+            "deliveries_per_env_step": deliveries,
+        }
+        new_rs = RunnerState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=last_obs,
+            key=key.reshape(1, 2),
+            update_idx=rs.update_idx + 1,
+        )
+        return new_rs, metrics
+
+    # -------------------------------------------------- jit / shard_map
+    if mesh is None:
+        train_step = jax.jit(_train_step_local)
+    else:
+        state_spec = RunnerState(
+            params=P(),
+            opt_state=P(),
+            env_state=P(DATA_AXIS),
+            obs=P(DATA_AXIS),
+            key=P(DATA_AXIS),
+            update_idx=P(),
+        )
+        metric_spec = {
+            "loss": P(), "pg_loss": P(), "v_loss": P(), "entropy": P(),
+            "reward_per_step": P(), "deliveries_per_env_step": P(),
+        }
+        train_step = jax.jit(
+            jax.shard_map(
+                _train_step_local,
+                mesh=mesh,
+                in_specs=(state_spec,),
+                out_specs=(state_spec, metric_spec),
+                check_vma=False,
+            )
+        )
+
+    def shard_runner_state(rs: RunnerState) -> RunnerState:
+        """Place an (unsharded) RunnerState onto the mesh."""
+        if mesh is None:
+            return rs
+        from jax.sharding import NamedSharding
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return RunnerState(
+            params=put(rs.params, P()),
+            opt_state=put(rs.opt_state, P()),
+            env_state=jax.tree.map(
+                lambda x: put(x, P(DATA_AXIS)), rs.env_state
+            ),
+            obs=put(rs.obs, P(DATA_AXIS)),
+            key=put(rs.key, P(DATA_AXIS)),
+            update_idx=put(rs.update_idx, P()),
+        )
+
+    @partial(jax.jit, static_argnums=1)
+    def train_many(rs: RunnerState, n: int):
+        """Run n updates in one compiled scan; metrics stacked [n]."""
+        return jax.lax.scan(lambda r, _: train_step(r), rs, None, length=n)
+
+    return PPOTrainer(
+        init=init,
+        train_step=train_step,
+        train_many=train_many,
+        shard_runner_state=shard_runner_state,
+        model=model,
+        tx=tx,
+        env_cfg=env_cfg,
+        tcfg=tcfg,
+        mesh=mesh,
+    )
+
+
+class PPOTrainer(NamedTuple):
+    init: Callable
+    train_step: Callable
+    train_many: Callable
+    shard_runner_state: Callable
+    model: Any
+    tx: Any
+    env_cfg: EnvConfig
+    tcfg: TrainConfig
+    mesh: Any
