@@ -27,8 +27,10 @@ def main() -> None:
     from warehouse_tpu.baselines.greedy import greedy_actions
     from warehouse_tpu.env import engine
 
+    # B=65536 is the measured single-chip sweet spot (throughput is
+    # non-monotonic in B; see docs/ARCHITECTURE.md perf notes).
     cfg = medium_config(auto_reset=True)
-    B, T = 8192, 256
+    B, T = 65536, 64
 
     key = jax.random.PRNGKey(0)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))

@@ -22,9 +22,6 @@ from ..ops.move import resolve_moves
 from ..ops.obs import observe
 from .state import EMPTY, IN_TRANSIT, PENDING, EnvState, TimeStep
 
-_R_OOB = "drop"  # scatter mode: out-of-bounds indices are dropped
-
-
 def _cell_to_rc(cell: jax.Array, width: int) -> jax.Array:
     return jnp.stack([cell // width, cell % width], axis=-1).astype(jnp.int32)
 
@@ -73,6 +70,12 @@ def step(
     # 1. Movement & collision (§4.1).
     agent_pos, collided = resolve_moves(cfg, state.agent_pos, actions)
 
+    # NOTE: every queue-slot update below is a dense one-hot masked write,
+    # NOT a scatter (`.at[idx].set`): TPU scatters serialize and were
+    # measured to cost ~2/3 of the whole step at R=8 (see git history);
+    # [A, R] compares + `any` are a handful of fused VPU ops instead.
+    slot_ids = jnp.arange(R, dtype=jnp.int32)
+
     # 2. Pickup (§5). Only the assigned agent can pick up.
     safe_req = jnp.clip(state.agent_req, 0, R - 1)
     has_req = state.agent_req >= 0
@@ -84,33 +87,38 @@ def step(
         & at_pickup
     )
     carrying = state.carrying | picked
-    pick_idx = jnp.where(picked, safe_req, R)  # R = dropped scatter
-    req_status = state.req_status.at[pick_idx].set(IN_TRANSIT, mode=_R_OOB)
+    agent_slot = jnp.where(has_req, safe_req, R)  # R = "no slot"
+    slot_picked = (
+        (agent_slot[:, None] == slot_ids[None, :]) & picked[:, None]
+    ).any(0)
+    req_status = jnp.where(slot_picked, IN_TRANSIT, state.req_status)
 
     # 3. Delivery (§5) — after pickup, so pickup==drop completes same tick.
     at_drop = (agent_pos == state.req_drop[safe_req]).all(-1)
     delivered = has_req & carrying & at_drop
-    del_idx = jnp.where(delivered, safe_req, R)
-    req_status = req_status.at[del_idx].set(EMPTY, mode=_R_OOB)
-    req_agent = state.req_agent.at[del_idx].set(-1, mode=_R_OOB)
-    req_pickup = state.req_pickup.at[del_idx].set(0, mode=_R_OOB)
-    req_drop = state.req_drop.at[del_idx].set(0, mode=_R_OOB)
+    slot_delivered = (
+        (agent_slot[:, None] == slot_ids[None, :]) & delivered[:, None]
+    ).any(0)
+    req_status = jnp.where(slot_delivered, EMPTY, req_status)
+    req_agent = jnp.where(slot_delivered, -1, state.req_agent)
+    req_pickup = jnp.where(slot_delivered[:, None], 0, state.req_pickup)
+    req_drop = jnp.where(slot_delivered[:, None], 0, state.req_drop)
     agent_req = jnp.where(delivered, -1, state.agent_req)
     carrying = carrying & ~delivered
 
     # 4. Spawn (§6): lowest-index EMPTY slot; draws consumed regardless.
     is_empty = req_status == EMPTY
-    slot = jnp.argmin(jnp.where(is_empty, jnp.arange(R), R))
     ok = (draws.spawn_u < cfg.spawn_prob) & is_empty.any()
-    w_idx = jnp.where(ok, slot, R)
-    req_pickup = req_pickup.at[w_idx].set(
-        _cell_to_rc(draws.spawn_pick, cfg.width), mode=_R_OOB
+    first_empty = is_empty & (jnp.cumsum(is_empty) == 1)
+    w = first_empty & ok
+    req_pickup = jnp.where(
+        w[:, None], _cell_to_rc(draws.spawn_pick, cfg.width), req_pickup
     )
-    req_drop = req_drop.at[w_idx].set(
-        _cell_to_rc(draws.spawn_drop, cfg.width), mode=_R_OOB
+    req_drop = jnp.where(
+        w[:, None], _cell_to_rc(draws.spawn_drop, cfg.width), req_drop
     )
-    req_status = req_status.at[w_idx].set(PENDING, mode=_R_OOB)
-    req_agent = req_agent.at[w_idx].set(-1, mode=_R_OOB)
+    req_status = jnp.where(w, PENDING, req_status)
+    req_agent = jnp.where(w, -1, req_agent)
 
     # 5. Assignment (§7).
     agent_req, req_agent = assign_requests(

@@ -27,17 +27,21 @@ def assign_requests(
 ):
     """Sticky nearest-pending assignment; ties → lowest request index."""
     # dist[i, r] = |agent_pos[i] - req_pickup[r]|_1
+    # All writes are one-hot masked selects, not scatters — a traced-index
+    # `.at[r].set` lowers to a serialized TPU scatter (measured ~25% of
+    # the whole env step); `where(slot_ids == r, ...)` fuses on the VPU.
     dist = jnp.abs(agent_pos[:, None, :] - req_pickup[None, :, :]).sum(-1)
+    slot_ids = jnp.arange(cfg.queue_capacity, dtype=jnp.int32)
     for i in range(cfg.num_agents):
         need = agent_req[i] < 0
         avail = (req_status == PENDING) & (req_agent < 0)
         masked = jnp.where(avail, dist[i], _BIG)
-        r = jnp.argmin(masked)  # first occurrence wins ties (lowest index)
+        r = jnp.argmin(masked).astype(jnp.int32)
         take = need & (masked[r] < _BIG)
         agent_req = agent_req.at[i].set(
-            jnp.where(take, r.astype(jnp.int32), agent_req[i])
+            jnp.where(take, r, agent_req[i])
         )
-        req_agent = req_agent.at[r].set(
-            jnp.where(take, jnp.int32(i), req_agent[r])
+        req_agent = jnp.where(
+            take & (slot_ids == r), jnp.int32(i), req_agent
         )
     return agent_req, req_agent

@@ -82,7 +82,7 @@ def main(argv=None) -> None:
     log.info("devices: %d  env: %s", len(devices), env_cfg.to_json())
 
     trainer = make_train(env_cfg, tcfg, arch=args.arch, mesh=mesh)
-    rs = trainer.shard_runner_state(trainer.init(jax.random.PRNGKey(args.seed)))
+    rs = trainer.init_global(jax.random.PRNGKey(args.seed))
 
     start_update = 0
     if args.resume:

@@ -33,10 +33,14 @@ def save(directory: str, step: int, tree: Any) -> str:
 def latest_step(directory: str) -> int | None:
     if not os.path.isdir(directory):
         return None
+    # A crash mid-save leaves `step_XXXX.orbax-checkpoint-tmp` dirs; only
+    # finalized checkpoints (exact `step_XXXXXXXX` names) count.
+    import re
+
     steps = [
-        int(name.split("_")[1])
+        int(m.group(1))
         for name in os.listdir(directory)
-        if name.startswith("step_")
+        if (m := re.fullmatch(r"step_(\d+)", name))
     ]
     return max(steps) if steps else None
 

@@ -239,6 +239,7 @@ def make_train(
         return new_rs, metrics
 
     # -------------------------------------------------- jit / shard_map
+    init_global = init
     if mesh is None:
         train_step = jax.jit(_train_step_local)
     else:
@@ -263,6 +264,17 @@ def make_train(
                 check_vma=False,
             )
         )
+        # Multi-process-safe init: computed under jit with global output
+        # shardings, so every host materializes only its addressable
+        # shards (host device_put of a global array would fail).
+        from jax.sharding import NamedSharding
+
+        out_shardings = jax.tree.map(
+            lambda spec: NamedSharding(mesh, spec),
+            state_spec,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        init_global = jax.jit(init, out_shardings=out_shardings)
 
     def shard_runner_state(rs: RunnerState) -> RunnerState:
         """Place an (unsharded) RunnerState onto the mesh."""
@@ -291,6 +303,7 @@ def make_train(
 
     return PPOTrainer(
         init=init,
+        init_global=init_global,
         train_step=train_step,
         train_many=train_many,
         shard_runner_state=shard_runner_state,
@@ -304,6 +317,7 @@ def make_train(
 
 class PPOTrainer(NamedTuple):
     init: Callable
+    init_global: Callable   # jit-sharded init (multi-process safe)
     train_step: Callable
     train_many: Callable
     shard_runner_state: Callable
