@@ -38,28 +38,29 @@ def main() -> None:
         jax.vmap(lambda k: engine.reset(cfg, k))
     )(keys)
 
+    # Keep per-step rewards AND deliveries live so XLA cannot dead-code
+    # away reward/flag computation — the number reflects the full step.
     def body(s, _):
         a = jax.vmap(lambda ss: greedy_actions(cfg, ss))(s)
         s, ts = jax.vmap(lambda ss, aa: engine.step(cfg, ss, aa))(s, a)
-        return s, ts.delivered.sum(dtype=jnp.int32)
+        return s, (ts.delivered.sum(dtype=jnp.int32), ts.reward.sum())
 
     @jax.jit
     def rollout(s):
-        s, dels = jax.lax.scan(body, s, None, length=T)
-        return s, dels.sum()
+        s, (dels, rews) = jax.lax.scan(body, s, None, length=T)
+        return s, dels.sum(), rews.sum()
 
     # Warmup/compile.
-    state, _ = rollout(state)
+    state, _, _ = rollout(state)
     jax.block_until_ready(state)
 
     iters = 4
     t0 = time.perf_counter()
-    total_dels = 0
     for _ in range(iters):
-        state, d = rollout(state)
+        state, d, r = rollout(state)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
-    total_dels = int(d)
+    assert int(d) > 0, "no deliveries — engine dynamics look broken"
 
     steps = B * T * iters
     sps = steps / dt
@@ -70,7 +71,7 @@ def main() -> None:
             {
                 "metric": "env_steps_per_sec_per_chip",
                 "value": round(per_chip),
-                "unit": "env-steps/s/chip (9x9 grid, 4 agents, greedy jitted, B=8192)",
+                "unit": f"env-steps/s/chip (9x9 grid, 4 agents, greedy jitted, B={B})",
                 "vs_baseline": round(per_chip / PER_CHIP_TARGET, 3),
             }
         )

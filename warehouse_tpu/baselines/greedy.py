@@ -18,13 +18,15 @@ STAY, UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3, 4
 
 def greedy_actions(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:
     """int32[A] actions from privileged state; vmap over batch for free."""
+    # One-hot read of each agent's request cells (gathers are slow on
+    # TPU — see engine.py note).
     safe = jnp.clip(state.agent_req, 0, cfg.queue_capacity - 1)
     has = state.agent_req >= 0
-    target = jnp.where(
-        state.carrying[:, None],
-        state.req_drop[safe],
-        state.req_pickup[safe],
-    )
+    slot_ids = jnp.arange(cfg.queue_capacity, dtype=jnp.int32)
+    oh = (safe[:, None] == slot_ids[None, :]) & has[:, None]
+    my_pickup = (oh[:, :, None] * state.req_pickup[None]).sum(1)
+    my_drop = (oh[:, :, None] * state.req_drop[None]).sum(1)
+    target = jnp.where(state.carrying[:, None], my_drop, my_pickup)
     d = target - state.agent_pos
     vert = jnp.where(d[:, 0] < 0, UP, DOWN)
     horiz = jnp.where(d[:, 1] < 0, LEFT, RIGHT)

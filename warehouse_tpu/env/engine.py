@@ -70,35 +70,36 @@ def step(
     # 1. Movement & collision (§4.1).
     agent_pos, collided = resolve_moves(cfg, state.agent_pos, actions)
 
-    # NOTE: every queue-slot update below is a dense one-hot masked write,
-    # NOT a scatter (`.at[idx].set`): TPU scatters serialize and were
-    # measured to cost ~2/3 of the whole step at R=8 (see git history);
-    # [A, R] compares + `any` are a handful of fused VPU ops instead.
+    # NOTE: every queue-slot READ and WRITE below goes through the [A, R]
+    # one-hot matrix `oh` — dense compares + masked sums/selects — never
+    # through `tbl[idx]` gathers or `.at[idx].set` scatters: TPU
+    # scatters serialize (cost ~2/3 of the step before removal) and
+    # per-agent gathers cost another ~30% (6.4M → 10.5M steps/s measured
+    # when replaced with one-hot reads).
     slot_ids = jnp.arange(R, dtype=jnp.int32)
 
     # 2. Pickup (§5). Only the assigned agent can pick up.
     safe_req = jnp.clip(state.agent_req, 0, R - 1)
     has_req = state.agent_req >= 0
-    at_pickup = (agent_pos == state.req_pickup[safe_req]).all(-1)
+    oh = (safe_req[:, None] == slot_ids[None, :]) & has_req[:, None]
+    my_pickup = (oh[:, :, None] * state.req_pickup[None]).sum(1)
+    my_drop = (oh[:, :, None] * state.req_drop[None]).sum(1)
+    my_status = (oh * state.req_status[None]).sum(1)
+    at_pickup = (agent_pos == my_pickup).all(-1)
     picked = (
         has_req
         & ~state.carrying
-        & (state.req_status[safe_req] == PENDING)
+        & (my_status == PENDING)
         & at_pickup
     )
     carrying = state.carrying | picked
-    agent_slot = jnp.where(has_req, safe_req, R)  # R = "no slot"
-    slot_picked = (
-        (agent_slot[:, None] == slot_ids[None, :]) & picked[:, None]
-    ).any(0)
+    slot_picked = (oh & picked[:, None]).any(0)
     req_status = jnp.where(slot_picked, IN_TRANSIT, state.req_status)
 
     # 3. Delivery (§5) — after pickup, so pickup==drop completes same tick.
-    at_drop = (agent_pos == state.req_drop[safe_req]).all(-1)
+    at_drop = (agent_pos == my_drop).all(-1)
     delivered = has_req & carrying & at_drop
-    slot_delivered = (
-        (agent_slot[:, None] == slot_ids[None, :]) & delivered[:, None]
-    ).any(0)
+    slot_delivered = (oh & delivered[:, None]).any(0)
     req_status = jnp.where(slot_delivered, EMPTY, req_status)
     req_agent = jnp.where(slot_delivered, -1, state.req_agent)
     req_pickup = jnp.where(slot_delivered[:, None], 0, state.req_pickup)

@@ -10,6 +10,7 @@ wrapper exists for CPU-side interop, demos, and the parity harness.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import numpy as np
@@ -37,12 +38,16 @@ class WarehouseMultiAgentEnv:
         self.agents = list(self.possible_agents)
 
     # ------------------------------------------------------------ spaces
+    # lru_cache: consumers (pettingzoo API test) require the SAME space
+    # object per agent across calls.
+    @functools.lru_cache(maxsize=None)
     def observation_space(self, agent: str):
         import gymnasium as gym
 
         return gym.spaces.Box(-np.inf, np.inf, (self.cfg.obs_dim,),
                               np.float32)
 
+    @functools.lru_cache(maxsize=None)
     def action_space(self, agent: str):
         import gymnasium as gym
 

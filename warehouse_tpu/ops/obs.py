@@ -1,10 +1,13 @@
 """Observation construction fused into the step (docs/SEMANTICS.md §10).
 
-Egocentric windows are ``lax.dynamic_slice`` views on zero-padded global
-channel grids (built once per step with scatters), ``vmap``-ed over agents
-— the TPU-native fusion of the reference's per-agent obs loops
-(BASELINE.json:5 "observation construction (egocentric/global grid views)
-fused into the step"). Oracle twin: ``OracleEnv._observe``.
+Fully comparison-based: window/global channels are built by comparing
+window-cell coordinates against entity positions ([A, S², A]/[A, S², R]
+boolean tensors reduced with `any`) — no grids, no scatters, no
+dynamic_slice. TPU rationale (measured): scatter-built channel grids +
+per-agent dynamic_slice windows dominated the PPO step; dense compares
+fuse on the VPU. Out-of-grid window cells fall out as zeros automatically
+because out-of-bounds coordinates never equal any in-bounds entity
+position. Oracle twin: ``OracleEnv._observe``.
 """
 
 from __future__ import annotations
@@ -18,12 +21,35 @@ PENDING = 1
 
 
 def _targets(cfg, agent_pos, agent_req, carrying, req_pickup, req_drop):
-    """(has_task bool[A], target int32[A, 2]) per docs/SEMANTICS.md §10."""
+    """(has_task bool[A], target int32[A, 2]) per docs/SEMANTICS.md §10.
+
+    One-hot reads instead of gathers (TPU: see engine.py perf note)."""
     has_task = agent_req >= 0
     safe = jnp.clip(agent_req, 0, cfg.queue_capacity - 1)
-    tgt = jnp.where(carrying[:, None], req_drop[safe], req_pickup[safe])
+    slot_ids = jnp.arange(cfg.queue_capacity, dtype=jnp.int32)
+    oh = (safe[:, None] == slot_ids[None, :]) & has_task[:, None]
+    my_pickup = (oh[:, :, None] * req_pickup[None]).sum(1)
+    my_drop = (oh[:, :, None] * req_drop[None]).sum(1)
+    tgt = jnp.where(carrying[:, None], my_drop, my_pickup)
     tgt = jnp.where(has_task[:, None], tgt, agent_pos)
     return has_task, tgt
+
+
+def _feats(cfg, agent_pos, carrying, has_task, tgt):
+    """Self features [row/H, col/W, carrying, has_task, drow/H, dcol/W]."""
+    H, W = cfg.height, cfg.width
+    delta = jnp.where(has_task[:, None], tgt - agent_pos, 0)
+    return jnp.stack(
+        [
+            agent_pos[:, 0] / H,
+            agent_pos[:, 1] / W,
+            carrying.astype(jnp.float32),
+            has_task.astype(jnp.float32),
+            delta[:, 0] / H,
+            delta[:, 1] / W,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
 
 
 def observe(
@@ -36,74 +62,89 @@ def observe(
     req_status: jnp.ndarray,
 ) -> jnp.ndarray:
     """Per-agent flat observations, float32[A, obs_dim]."""
-    H, W, A = cfg.height, cfg.width, cfg.num_agents
+    H, W = cfg.height, cfg.width
     has_task, tgt = _targets(
         cfg, agent_pos, agent_req, carrying, req_pickup, req_drop
     )
-
-    agents_grid = (
-        jnp.zeros((H, W), jnp.float32)
-        .at[agent_pos[:, 0], agent_pos[:, 1]]
-        .max(1.0)
-    )
-    pending_grid = (
-        jnp.zeros((H, W), jnp.float32)
-        .at[req_pickup[:, 0], req_pickup[:, 1]]
-        .max((req_status == PENDING).astype(jnp.float32))
-    )
-
-    # Self features [row/H, col/W, carrying, has_task, drow/H, dcol/W].
-    delta = jnp.where(has_task[:, None], tgt - agent_pos, 0)
-    feats = jnp.stack(
-        [
-            agent_pos[:, 0] / H,
-            agent_pos[:, 1] / W,
-            carrying.astype(jnp.float32),
-            has_task.astype(jnp.float32),
-            delta[:, 0] / H,
-            delta[:, 1] / W,
-        ],
-        axis=-1,
-    ).astype(jnp.float32)
+    feats = _feats(cfg, agent_pos, carrying, has_task, tgt)
+    pending = req_status == PENDING
 
     if cfg.global_obs:
-        rows = jnp.arange(H)[:, None]
-        cols = jnp.arange(W)[None, :]
-
-        def per_agent(p, ht, tg):
-            self_oh = ((rows == p[0]) & (cols == p[1])).astype(jnp.float32)
-            others = jnp.clip(agents_grid - self_oh, 0.0, 1.0)
-            tgt_oh = (
-                (rows == tg[0]) & (cols == tg[1])
-            ).astype(jnp.float32) * ht
-            g = jnp.stack([self_oh, others, pending_grid, tgt_oh], axis=-1)
-            return g.reshape(-1)
-
-        grids = jax.vmap(per_agent)(
-            agent_pos, has_task.astype(jnp.float32), tgt
+        # Channels over the full grid, one [H*W] axis per channel.
+        rows = (jnp.arange(H * W) // W).astype(jnp.int32)
+        cols = (jnp.arange(H * W) % W).astype(jnp.int32)
+        # [A, H*W]: cell == my position
+        self_oh = (
+            (rows[None, :] == agent_pos[:, None, 0])
+            & (cols[None, :] == agent_pos[:, None, 1])
         )
-        return jnp.concatenate([grids, feats], axis=-1)
+        # [H*W]: any agent on the cell (then mask out self per agent)
+        any_agent = (
+            (rows[:, None] == agent_pos[None, :, 0])
+            & (cols[:, None] == agent_pos[None, :, 1])
+        ).any(-1)
+        others = any_agent[None, :] & ~self_oh
+        pend_cells = (
+            (rows[:, None] == req_pickup[None, :, 0])
+            & (cols[:, None] == req_pickup[None, :, 1])
+            & pending[None, :]
+        ).any(-1)
+        tgt_oh = (
+            (rows[None, :] == tgt[:, None, 0])
+            & (cols[None, :] == tgt[:, None, 1])
+            & has_task[:, None]
+        )
+        # Spec layout: [H, W, 4] ravel, channel-last.
+        grid = jnp.stack(
+            [
+                self_oh.astype(jnp.float32),
+                others.astype(jnp.float32),
+                jnp.broadcast_to(
+                    pend_cells[None, :], self_oh.shape
+                ).astype(jnp.float32),
+                tgt_oh.astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # [A, H*W, 4]
+        return jnp.concatenate(
+            [grid.reshape(agent_pos.shape[0], -1), feats], axis=-1
+        )
 
     k, S = cfg.obs_radius, cfg.window_size
-    pad = ((k, k), (k, k))
-    agents_p = jnp.pad(agents_grid, pad)
-    pending_p = jnp.pad(pending_grid, pad)
-    valid_p = jnp.pad(jnp.ones((H, W), jnp.float32), pad)
+    # Window cell coordinates per agent: [A, S*S, 2].
+    offs_r = (jnp.arange(S * S) // S).astype(jnp.int32) - k
+    offs_c = (jnp.arange(S * S) % S).astype(jnp.int32) - k
+    wr = agent_pos[:, None, 0] + offs_r[None, :]
+    wc = agent_pos[:, None, 1] + offs_c[None, :]
 
-    wr = jnp.arange(S)[:, None]
-    wc = jnp.arange(S)[None, :]
+    # ch0: any agent on the cell ([A, S², A'] compare).
+    ch0 = (
+        (wr[:, :, None] == agent_pos[None, None, :, 0])
+        & (wc[:, :, None] == agent_pos[None, None, :, 1])
+    ).any(-1)
+    # ch1: pending pickup on the cell ([A, S², R] compare).
+    ch1 = (
+        (wr[:, :, None] == req_pickup[None, None, :, 0])
+        & (wc[:, :, None] == req_pickup[None, None, :, 1])
+        & pending[None, None, :]
+    ).any(-1)
+    # ch2: own target on the cell.
+    ch2 = (
+        (wr == tgt[:, None, 0]) & (wc == tgt[:, None, 1])
+        & has_task[:, None]
+    )
+    # ch3: cell inside the grid.
+    ch3 = (wr >= 0) & (wr < H) & (wc >= 0) & (wc < W)
 
-    def window(p, ht, tg):
-        # Padded-grid origin is shifted by k, so the window's top-left in
-        # padded coordinates is exactly p.
-        ch0 = jax.lax.dynamic_slice(agents_p, (p[0], p[1]), (S, S))
-        ch1 = jax.lax.dynamic_slice(pending_p, (p[0], p[1]), (S, S))
-        ch3 = jax.lax.dynamic_slice(valid_p, (p[0], p[1]), (S, S))
-        # ch2: own target one-hot, window coords = tgt - pos + k.
-        d = tg - p + k
-        ch2 = ((wr == d[0]) & (wc == d[1])).astype(jnp.float32) * ht
-        win = jnp.stack([ch0, ch1, ch2, ch3], axis=-1)
-        return win.reshape(-1)
-
-    wins = jax.vmap(window)(agent_pos, has_task.astype(jnp.float32), tgt)
-    return jnp.concatenate([wins, feats], axis=-1)
+    win = jnp.stack(
+        [
+            ch0.astype(jnp.float32),
+            ch1.astype(jnp.float32),
+            ch2.astype(jnp.float32),
+            ch3.astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # [A, S², 4] — ravel matches the [S, S, 4] channel-last spec order
+    return jnp.concatenate(
+        [win.reshape(agent_pos.shape[0], -1), feats], axis=-1
+    )
