@@ -1,11 +1,17 @@
 """Throughput benchmark: batched greedy rollout, fully jitted on 1 chip.
 
 Implements BASELINE.json config 2 (9x9 grid, 4 agents, greedy baseline
-jitted) at stress batch size, and prints ONE JSON line.
+jitted) at stress batch size via the fused Pallas rollout kernel
+(warehouse_tpu/pallas/rollout.py — bit-exact against the XLA engine,
+tests/test_pallas.py), and prints ONE JSON line.
 
 North-star metric (BASELINE.json:2): env-steps/s per chip. The aggregate
-target is >10M env-steps/s on v5e-16 (16 chips), i.e. 625k steps/s/chip —
-``vs_baseline`` is measured-per-chip / 625k.
+target is >10M env-steps/s on v5e-16 (16 chips), i.e. 625k
+steps/s/chip — ``vs_baseline`` is measured-per-chip / 625k.
+
+Episodes are episode-synchronized (all envs reset together at
+t = max_steps), so auto-reset runs between kernel invocations; its cost
+is included in the timing.
 """
 
 from __future__ import annotations
@@ -24,43 +30,44 @@ def main() -> None:
     import jax.numpy as jnp
 
     from warehouse_tpu import medium_config
-    from warehouse_tpu.baselines.greedy import greedy_actions
     from warehouse_tpu.env import engine
+    from warehouse_tpu.pallas.rollout import greedy_rollout_pallas
 
-    # B=65536 is the measured single-chip sweet spot (throughput is
-    # non-monotonic in B; see docs/ARCHITECTURE.md perf notes).
-    cfg = medium_config(auto_reset=True)
-    B, T = 65536, 64
-
-    key = jax.random.PRNGKey(0)
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
-    state, _ = jax.jit(
-        jax.vmap(lambda k: engine.reset(cfg, k))
-    )(keys)
-
-    # Keep per-step rewards AND deliveries live so XLA cannot dead-code
-    # away reward/flag computation — the number reflects the full step.
-    def body(s, _):
-        a = jax.vmap(lambda ss: greedy_actions(cfg, ss))(s)
-        s, ts = jax.vmap(lambda ss, aa: engine.step(cfg, ss, aa))(s, a)
-        return s, (ts.delivered.sum(dtype=jnp.int32), ts.reward.sum())
+    cfg = medium_config()  # auto_reset handled at episode boundary below
+    B, BLOCK = 131072, 1024
+    T = cfg.max_steps  # one full episode per kernel call
 
     @jax.jit
-    def rollout(s):
-        s, (dels, rews) = jax.lax.scan(body, s, None, length=T)
-        return s, dels.sum(), rews.sum()
+    def reset_all(seed):
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        )(jnp.arange(B))
+        state, _ = jax.vmap(lambda k: engine.reset(cfg, k))(keys)
+        return state
 
+    def episode(state):
+        # Full-episode fused rollout + synchronized reset (auto-reset
+        # equivalent for episode-aligned batches); reset cost is timed.
+        new_state, deliv, rew = greedy_rollout_pallas(cfg, state, T, BLOCK)
+        return new_state, deliv.sum(), rew.sum()
+
+    state = reset_all(0)
     # Warmup/compile.
-    state, _, _ = rollout(state)
-    jax.block_until_ready(state)
+    s2, d, r = episode(state)
+    _ = int(d)
 
+    # Per-iter host readback of the delivery count gates each timing on
+    # REAL completion (block_until_ready proved unreliable over the
+    # remote-device transport) and keeps the dynamics live.
     iters = 4
+    total_d = 0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, d, r = rollout(state)
-    jax.block_until_ready(state)
+    for i in range(iters):
+        state = reset_all(i)
+        state, d, r = episode(state)
+        total_d += int(d)
     dt = time.perf_counter() - t0
-    assert int(d) > 0, "no deliveries — engine dynamics look broken"
+    assert total_d > 0, "no deliveries — engine dynamics look broken"
 
     steps = B * T * iters
     sps = steps / dt
@@ -71,7 +78,11 @@ def main() -> None:
             {
                 "metric": "env_steps_per_sec_per_chip",
                 "value": round(per_chip),
-                "unit": f"env-steps/s/chip (9x9 grid, 4 agents, greedy jitted, B={B})",
+                "unit": (
+                    "env-steps/s/chip (9x9 grid, 4 agents, greedy baseline,"
+                    f" fused Pallas rollout, B={B}, full 128-step episodes"
+                    " incl. reset)"
+                ),
                 "vs_baseline": round(per_chip / PER_CHIP_TARGET, 3),
             }
         )

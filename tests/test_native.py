@@ -1,0 +1,128 @@
+"""C++ engine parity: the native batched engine must match the JAX
+engine bit-for-bit when fed the identical injected draw stream."""
+
+import numpy as np
+import pytest
+
+from warehouse_tpu import medium_config, small_config
+
+
+def get_native(cfg, B):
+    from warehouse_tpu.native import NativeBatchedEnv
+
+    try:
+        return NativeBatchedEnv(cfg, B)
+    except Exception as e:  # no g++ → skip, not fail
+        pytest.skip(f"native build unavailable: {e}")
+
+
+def run_parity(cfg, B, T, policy, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from warehouse_tpu import rng as _rng
+    from warehouse_tpu.baselines.greedy import greedy_actions
+    from warehouse_tpu.env import engine
+
+    nat = get_native(cfg, B)
+    keys = jax.vmap(
+        lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+    )(jnp.arange(B))
+    jstate, _ = jax.jit(jax.vmap(lambda k: engine.reset(cfg, k)))(keys)
+    for b in range(B):
+        nat.load_state(b, jax.tree.map(lambda x: x[b], jstate))
+
+    arng = np.random.default_rng(seed)
+    for t in range(T):
+        if policy == "greedy":
+            ja = np.asarray(
+                jax.jit(jax.vmap(lambda s: greedy_actions(cfg, s)),
+                        static_argnums=())(jstate)
+            )
+            na = nat.greedy_actions()
+            np.testing.assert_array_equal(ja, na, err_msg=f"actions t={t}")
+            actions = ja
+        else:
+            actions = arng.integers(0, 5, (B, cfg.num_agents)).astype(
+                np.int32
+            )
+        # Identical injected draws: the engine's own step stream.
+        draws = jax.vmap(lambda k: _rng.step_draws(k, cfg))(jstate.key)
+        jstate, ts = jax.jit(
+            jax.vmap(lambda s, a: engine.step(cfg, s, a))
+        )(jstate, actions)
+        rew, picked, delivered, collided = nat.step(
+            actions,
+            np.asarray(draws.spawn_u),
+            np.asarray(draws.spawn_pick),
+            np.asarray(draws.spawn_drop),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jstate.agent_pos), nat.agent_pos, err_msg=f"pos t={t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jstate.agent_req), nat.agent_req, err_msg=f"req t={t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jstate.carrying), nat.carrying.astype(bool),
+            err_msg=f"carry t={t}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jstate.req_status), nat.req_status,
+            err_msg=f"status t={t}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jstate.req_pickup), nat.req_pickup,
+            err_msg=f"rpick t={t}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ts.reward), rew, err_msg=f"reward t={t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ts.delivered), delivered, err_msg=f"delivered t={t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ts.collided), collided, err_msg=f"collided t={t}"
+        )
+
+
+def test_native_parity_greedy_small():
+    run_parity(small_config(max_steps=10**9), B=16, T=40, policy="greedy")
+
+
+def test_native_parity_random_medium():
+    run_parity(medium_config(max_steps=10**9), B=16, T=40, policy="random")
+
+
+@pytest.mark.slow
+def test_native_parity_fuzz_large_batch():
+    """Mass fuzz: 256 envs x 200 random steps, bit-exact."""
+    run_parity(
+        medium_config(max_steps=10**9, spawn_prob=0.7),
+        B=256, T=200, policy="random", seed=3,
+    )
+
+
+def test_native_throughput_smoke():
+    """The native engine steps a decent batch quickly (smoke, no target)."""
+    import time
+
+    cfg = medium_config()
+    B = 4096
+    nat = get_native(cfg, B)
+    rng = np.random.default_rng(0)
+    # Random-ish initial states: distinct agent cells per env.
+    for b in range(0, B, max(B // 8, 1)):
+        pass  # states default to zeros; fine for a throughput smoke
+    actions = rng.integers(0, 5, (B, cfg.num_agents)).astype(np.int32)
+    u = rng.random(B).astype(np.float32)
+    pick = rng.integers(0, cfg.num_cells, B).astype(np.int32)
+    drop = rng.integers(0, cfg.num_cells, B).astype(np.int32)
+    t0 = time.perf_counter()
+    T = 50
+    for _ in range(T):
+        nat.step(actions, u, pick, drop)
+    dt = time.perf_counter() - t0
+    sps = B * T / dt
+    print(f"\nnative engine: {sps:,.0f} env-steps/s (single thread)")
+    assert sps > 100_000

@@ -20,8 +20,11 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=None,
                    help="default: env max_steps")
-    p.add_argument("--policy", choices=["greedy", "random"],
+    p.add_argument("--policy", choices=["greedy", "random", "checkpoint"],
                    default="greedy")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
+    p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--render", action="store_true")
     p.add_argument("--backend", choices=["jax", "oracle"], default="jax")
     args = p.parse_args(argv)
@@ -35,6 +38,22 @@ def main(argv=None) -> None:
     env = WarehouseMultiAgentEnv(cfg, backend=args.backend)
     obs, _ = env.reset(seed=args.seed)
     rng = np.random.default_rng(args.seed)
+
+    ckpt_apply = None
+    if args.policy == "checkpoint":
+        import jax
+        import jax.numpy as jnp
+
+        from .evaluate import load_checkpoint_params
+        from .models import make_model
+
+        model = make_model(cfg, arch=args.arch, hidden_dim=args.hidden_dim)
+        params = load_checkpoint_params(
+            cfg, model, args.checkpoint_dir
+        )
+        ckpt_apply = jax.jit(
+            lambda o: jnp.argmax(model.apply(params, o)[0], axis=-1)
+        )
 
     returns = {a: 0.0 for a in env.possible_agents}
     deliveries = 0
@@ -50,6 +69,14 @@ def main(argv=None) -> None:
                 from .baselines.greedy import greedy_actions
 
                 acts = np.asarray(greedy_actions(cfg, env.state))
+            action_dict = {
+                a: int(acts[i]) for i, a in enumerate(env.possible_agents)
+            }
+        elif args.policy == "checkpoint":
+            import numpy as _np
+
+            stacked = _np.stack([obs[a] for a in env.possible_agents])
+            acts = _np.asarray(ckpt_apply(stacked))
             action_dict = {
                 a: int(acts[i]) for i, a in enumerate(env.possible_agents)
             }

@@ -62,6 +62,35 @@ def evaluate_policy(cfg, policy_fn, num_episodes: int, seed: int = 0):
     }
 
 
+def load_checkpoint_params(cfg, model, checkpoint_dir: str):
+    """Restore the latest checkpoint's params for ``model``.
+
+    Device-portable: the abstract restore target is built from checkpoint
+    METADATA with the current local device's sharding, so a TPU-saved
+    checkpoint restores on CPU (and vice versa)."""
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from .train import checkpoint as ckpt
+
+    step = ckpt.latest_step(checkpoint_dir)
+    if step is None:
+        raise SystemExit(f"no checkpoints under {checkpoint_dir}")
+    path = os.path.abspath(f"{checkpoint_dir}/step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def to_abstract(m):
+        return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
+
+    abstract = jax.tree.map(to_abstract, meta.tree)
+    restored = ckptr.restore(path, abstract)
+    return restored["params"]
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("warehouse_tpu.evaluate")
     add_env_args(p)
@@ -93,34 +122,12 @@ def main(argv=None) -> None:
             return random_actions(cfg, key, (B,)).astype("int32")
 
     else:
-        from .models import make_model
-        from .train import checkpoint as ckpt
-
-        model = make_model(cfg, arch=args.arch, hidden_dim=args.hidden_dim)
         import jax.numpy as jnp
 
-        params0 = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, cfg.obs_dim))
-        )
-        # Restore the RunnerState-shaped tree and pull params out.
-        step = ckpt.latest_step(args.checkpoint_dir)
-        if step is None:
-            raise SystemExit(
-                f"no checkpoints under {args.checkpoint_dir}"
-            )
-        from .train.ppo import RunnerState  # noqa: F401 (doc pointer)
+        from .models import make_model
 
-        import orbax.checkpoint as ocp
-
-        path = f"{args.checkpoint_dir}/step_{step:08d}"
-        restored = ocp.StandardCheckpointer().restore(
-            __import__("os").path.abspath(path)
-        )
-        params = jax.tree.map(
-            lambda ref, _: ref,
-            restored["params"],
-            params0,
-        )
+        model = make_model(cfg, arch=args.arch, hidden_dim=args.hidden_dim)
+        params = load_checkpoint_params(cfg, model, args.checkpoint_dir)
 
         def policy_fn(state, obs, key):
             logits, _ = model.apply(params, obs)
