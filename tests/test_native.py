@@ -87,11 +87,11 @@ def run_parity(cfg, B, T, policy, seed=0):
 
 
 def test_native_parity_greedy_small():
-    run_parity(small_config(max_steps=10**9), B=16, T=40, policy="greedy")
+    run_parity(small_config(max_steps=10**9), B=16, T=24, policy="greedy")
 
 
 def test_native_parity_random_medium():
-    run_parity(medium_config(max_steps=10**9), B=16, T=40, policy="random")
+    run_parity(medium_config(max_steps=10**9), B=16, T=24, policy="random")
 
 
 @pytest.mark.slow

@@ -127,3 +127,22 @@ def test_ppo_learns_tiny_env():
     rs, m1 = trainer.train_many(rs, 35)
     late = float(np.mean(np.asarray(m1["deliveries_per_env_step"])[-5:]))
     assert late > early * 1.3 + 1e-4, f"no learning: early={early} late={late}"
+
+
+def test_adaptive_kl_penalty():
+    import jax
+
+    trainer = make_tiny_trainer(kl_coeff=0.2, kl_target=0.01)
+    rs = trainer.init(jax.random.PRNGKey(0))
+    assert abs(float(rs.kl_coeff) - 0.2) < 1e-6
+    rs, m = trainer.train_step(rs)
+    assert np.isfinite(float(m["kl"]))
+    # Coefficient stays positive and adapts by the x1.5 / x0.5 / x1 rule.
+    c = float(m["kl_coeff"])
+    assert any(abs(c - v) < 1e-6 for v in (0.2, 0.2 * 1.5, 0.2 * 0.5)), c
+
+    # With the penalty disabled the coefficient stays exactly zero.
+    t2 = make_tiny_trainer()
+    rs2 = t2.init(jax.random.PRNGKey(0))
+    rs2, m2 = t2.train_step(rs2)
+    assert float(m2["kl_coeff"]) == 0.0

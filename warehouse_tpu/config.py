@@ -119,6 +119,11 @@ class TrainConfig:
     value_coef: float = 0.5
     ppo_epochs: int = 4
     num_minibatches: int = 4
+    # RLlib-style adaptive KL penalty (off by default; clipped surrogate
+    # alone is the PureJaxRL-standard loss).
+    kl_coeff: float = 0.0
+    kl_target: float = 0.01
+    adaptive_kl: bool = True
     learning_rate: float = 3e-4
     max_grad_norm: float = 0.5
     anneal_lr: bool = True

@@ -36,17 +36,27 @@ def _targets(cfg, agent_pos, agent_req, carrying, req_pickup, req_drop):
 
 
 def _feats(cfg, agent_pos, carrying, has_task, tgt):
-    """Self features [row/H, col/W, carrying, has_task, drow/H, dcol/W]."""
-    H, W = cfg.height, cfg.width
+    """Self features [row/H, col/W, carrying, has_task, drow/H, dcol/W].
+
+    Normalization is EXPLICIT multiplication by the float32 reciprocal
+    (docs/SEMANTICS.md §10): under jit XLA strength-reduces division by
+    a constant into reciprocal multiplication anyway, which differs from
+    true division by 1 ulp for some values (found by hypothesis at W=6)
+    — so the spec pins the multiply and the oracle does the same.
+    """
+    import numpy as _np
+
+    inv_h = float(_np.float32(1.0) / _np.float32(cfg.height))
+    inv_w = float(_np.float32(1.0) / _np.float32(cfg.width))
     delta = jnp.where(has_task[:, None], tgt - agent_pos, 0)
     return jnp.stack(
         [
-            agent_pos[:, 0] / H,
-            agent_pos[:, 1] / W,
+            agent_pos[:, 0].astype(jnp.float32) * inv_h,
+            agent_pos[:, 1].astype(jnp.float32) * inv_w,
             carrying.astype(jnp.float32),
             has_task.astype(jnp.float32),
-            delta[:, 0] / H,
-            delta[:, 1] / W,
+            delta[:, 0].astype(jnp.float32) * inv_h,
+            delta[:, 1].astype(jnp.float32) * inv_w,
         ],
         axis=-1,
     ).astype(jnp.float32)

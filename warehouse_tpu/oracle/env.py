@@ -308,7 +308,12 @@ class OracleEnv:
         cfg = self.cfg
         has_task, tgt = self._target(s, i)
         delta = (tgt - s.agent_pos[i]) if has_task else np.zeros(2, np.int64)
-        # float32 division (not float64-then-cast) to match the engine.
+        # Explicit float32 reciprocal MULTIPLY (not division): under jit
+        # XLA strength-reduces x/const to x*(1/const), which rounds
+        # differently from true division for some values (1 ulp at W=6,
+        # found by hypothesis) — docs/SEMANTICS.md §10 pins the multiply.
+        inv_h = np.float32(1.0) / np.float32(cfg.height)
+        inv_w = np.float32(1.0) / np.float32(cfg.width)
         num = np.array(
             [
                 s.agent_pos[i][0], s.agent_pos[i][1],
@@ -317,8 +322,5 @@ class OracleEnv:
             ],
             dtype=np.float32,
         )
-        den = np.array(
-            [cfg.height, cfg.width, 1, 1, cfg.height, cfg.width],
-            dtype=np.float32,
-        )
-        return num / den
+        scale = np.array([inv_h, inv_w, 1.0, 1.0, inv_h, inv_w], np.float32)
+        return num * scale

@@ -25,6 +25,9 @@ def main(argv=None) -> None:
     p.add_argument("--ppo-epochs", type=int, default=4)
     p.add_argument("--num-minibatches", type=int, default=4)
     p.add_argument("--entropy-coef", type=float, default=0.01)
+    p.add_argument("--kl-coeff", type=float, default=0.0,
+                   help="initial adaptive-KL penalty coefficient (0 = off)")
+    p.add_argument("--kl-target", type=float, default=0.01)
     p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
     p.add_argument("--seed", type=int, default=0)
@@ -38,6 +41,10 @@ def main(argv=None) -> None:
                    help="skip mesh/shard_map even with multiple devices")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax profiler trace of updates 3-5 here")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run a greedy-argmax evaluation every N updates "
+                        "(0 = off); RLlib evaluation_interval parity")
+    p.add_argument("--eval-episodes", type=int, default=128)
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -67,6 +74,8 @@ def main(argv=None) -> None:
         ppo_epochs=args.ppo_epochs,
         num_minibatches=args.num_minibatches,
         entropy_coef=args.entropy_coef,
+        kl_coeff=args.kl_coeff,
+        kl_target=args.kl_target,
         hidden_dim=args.hidden_dim,
         seed=args.seed,
         checkpoint_every=args.checkpoint_every,
@@ -111,6 +120,21 @@ def main(argv=None) -> None:
         if args.checkpoint_every and (u + n) % args.checkpoint_every == 0:
             path = save(args.checkpoint_dir, u + n, rs)
             log.info("checkpoint: %s", path)
+        if args.eval_every and (u + n) % args.eval_every == 0:
+            import jax.numpy as jnp
+
+            from ..evaluate import evaluate_policy
+
+            params = rs.params
+
+            def policy_fn(state, obs, key):
+                logits, _ = trainer.model.apply(params, obs)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            ev = evaluate_policy(env_cfg, policy_fn, args.eval_episodes,
+                                 seed=args.seed + u)
+            metrics.log(u + n, {f"eval_{k}": v for k, v in ev.items()
+                                if k != "episodes"})
     metrics.close()
     log.info("done: %d updates, %d env steps", tcfg.num_updates,
              tcfg.num_updates * steps_per_update)

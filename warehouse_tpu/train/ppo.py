@@ -39,6 +39,7 @@ class RunnerState:
     obs: jax.Array          # float32[B_local, A, obs_dim] (sharded)
     key: jax.Array          # uint32[n_shards, 2] (sharded: one key/shard)
     update_idx: jax.Array   # int32 (replicated)
+    kl_coeff: jax.Array     # float32 (replicated; adaptive KL penalty)
 
 
 class Transition(NamedTuple):
@@ -108,6 +109,7 @@ def make_train(
             obs=obs,
             key=shard_keys,
             update_idx=jnp.int32(0),
+            kl_coeff=jnp.float32(tcfg.kl_coeff),
         )
 
     # -------------------------------------------------------- one update
@@ -153,7 +155,7 @@ def make_train(
             flat(traj.value), flat(advantages), flat(targets),
         )
 
-        def loss_fn(params, mb):
+        def loss_fn(params, mb, kl_coeff):
             obs, action, old_lp, old_v, adv, tgt = mb
             logits, value = model.apply(params, obs)
             lp = jnp.take_along_axis(
@@ -172,11 +174,15 @@ def make_train(
             ).mean()
             probs = jax.nn.softmax(logits)
             entropy = -(probs * jnp.log(probs + 1e-10)).sum(-1).mean()
+            # Approx KL(old || new), RLlib-style penalty term (zero-cost
+            # when kl_coeff == 0).
+            kl = (old_lp - lp).mean()
             total = (
                 pg_loss + tcfg.value_coef * v_loss
                 - tcfg.entropy_coef * entropy
+                + kl_coeff * kl
             )
-            return total, (pg_loss, v_loss, entropy)
+            return total, (pg_loss, v_loss, entropy, kl)
 
         def epoch(carry, _):
             params, opt_state, key = carry
@@ -195,7 +201,7 @@ def make_train(
                 params, opt_state = carry
                 (loss, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(params, mb)
+                )(params, mb, rs.kl_coeff)
                 if mesh is not None:
                     grads = jax.lax.pmean(grads, DATA_AXIS)
                     loss = jax.lax.pmean(loss, DATA_AXIS)
@@ -213,6 +219,21 @@ def make_train(
             epoch, (params, rs.opt_state, key), None, length=tcfg.ppo_epochs
         )
 
+        # Adaptive KL coefficient (RLlib rule: x1.5 above 2x target,
+        # x0.5 below 0.5x target), active only when enabled.
+        mean_kl = losses[4].mean()
+        if mesh is not None:
+            mean_kl = jax.lax.pmean(mean_kl, DATA_AXIS)
+        kl_coeff = rs.kl_coeff
+        if tcfg.kl_coeff > 0.0 and tcfg.adaptive_kl:
+            kl_coeff = jnp.where(
+                mean_kl > 2.0 * tcfg.kl_target, kl_coeff * 1.5,
+                jnp.where(
+                    mean_kl < 0.5 * tcfg.kl_target, kl_coeff * 0.5,
+                    kl_coeff,
+                ),
+            )
+
         mean_reward = traj.reward.mean()
         deliveries = delivered.sum(dtype=jnp.float32) / (
             tcfg.unroll_length * b_local
@@ -225,6 +246,8 @@ def make_train(
             "pg_loss": losses[1].mean(),
             "v_loss": losses[2].mean(),
             "entropy": losses[3].mean(),
+            "kl": mean_kl,
+            "kl_coeff": kl_coeff,
             "reward_per_step": mean_reward,
             "deliveries_per_env_step": deliveries,
         }
@@ -235,6 +258,7 @@ def make_train(
             obs=last_obs,
             key=key.reshape(1, 2),
             update_idx=rs.update_idx + 1,
+            kl_coeff=kl_coeff,
         )
         return new_rs, metrics
 
@@ -250,9 +274,11 @@ def make_train(
             obs=P(DATA_AXIS),
             key=P(DATA_AXIS),
             update_idx=P(),
+            kl_coeff=P(),
         )
         metric_spec = {
             "loss": P(), "pg_loss": P(), "v_loss": P(), "entropy": P(),
+            "kl": P(), "kl_coeff": P(),
             "reward_per_step": P(), "deliveries_per_env_step": P(),
         }
         train_step = jax.jit(
@@ -294,6 +320,7 @@ def make_train(
             obs=put(rs.obs, P(DATA_AXIS)),
             key=put(rs.key, P(DATA_AXIS)),
             update_idx=put(rs.update_idx, P()),
+            kl_coeff=put(rs.kl_coeff, P()),
         )
 
     @partial(jax.jit, static_argnums=1)
