@@ -7,7 +7,8 @@ pytrees of fixed-shape arrays, ``vmap``-batched, ``lax.scan``-rolled, and
 ``warehouse_tpu.oracle`` is the readable executable spec used for parity.
 """
 
-from .config import EnvConfig, TrainConfig, small_config, medium_config, large_config
+from .config import (EnvConfig, TrainConfig, small_config, medium_config,
+                     large_config, shelves_config)
 
 __version__ = "0.1.0"
 
@@ -17,5 +18,6 @@ __all__ = [
     "small_config",
     "medium_config",
     "large_config",
+    "shelves_config",
     "__version__",
 ]

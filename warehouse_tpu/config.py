@@ -27,6 +27,10 @@ class EnvConfig:
     max_steps: int = 128
     obs_radius: int = 2
     global_obs: bool = False
+    # Static obstacle layout: row-major cell ids of wall/shelf cells
+    # (docs/SEMANTICS.md §1a). Empty = open floor. A frozen tuple so the
+    # config stays hashable (layout is a SHAPE-like compile-time constant).
+    walls: tuple = ()
     # Rewards (docs/SEMANTICS.md §8). Penalties are negative values.
     delivery_reward: float = 1.0
     pickup_reward: float = 0.1
@@ -45,6 +49,14 @@ class EnvConfig:
             raise ValueError("obs_radius must be >= 0")
         if not 0.0 <= self.spawn_prob <= 1.0:
             raise ValueError("spawn_prob must be in [0, 1]")
+        walls = tuple(self.walls)
+        object.__setattr__(self, "walls", walls)
+        if len(set(walls)) != len(walls):
+            raise ValueError("duplicate wall cells")
+        if any(not 0 <= w < self.num_cells for w in walls):
+            raise ValueError("wall cell out of range")
+        if self.num_agents > self.num_cells - len(walls):
+            raise ValueError("num_agents must fit on free cells")
 
     # ---- derived shapes -------------------------------------------------
     @property
@@ -66,12 +78,27 @@ class EnvConfig:
     def num_actions(self) -> int:
         return 5
 
+    @property
+    def free_cells(self) -> tuple:
+        """Row-major cell ids that are NOT walls (docs/SEMANTICS.md §9:
+        random cell draws index into this list)."""
+        wall_set = set(self.walls)
+        return tuple(c for c in range(self.num_cells)
+                     if c not in wall_set)
+
+    @property
+    def num_free(self) -> int:
+        return self.num_cells - len(self.walls)
+
     # ---- (de)serialization ---------------------------------------------
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "EnvConfig":
+        d = dict(d)
+        if "walls" in d:
+            d["walls"] = tuple(d["walls"])
         return cls(**d)
 
     def replace(self, **kw: Any) -> "EnvConfig":
@@ -100,6 +127,23 @@ def large_config(**kw: Any) -> EnvConfig:
     """15x15, 8 agents — BASELINE.json config 3 (stress)."""
     base = dict(height=15, width=15, num_agents=8, queue_capacity=16,
                 init_requests=8)
+    base.update(kw)
+    return EnvConfig(**base)
+
+
+def shelves_config(**kw: Any) -> EnvConfig:
+    """11x11 with four 3-cell shelf racks — a classic warehouse aisle
+    layout (docs/SEMANTICS.md §1a)."""
+
+    def cells(rc_list):
+        return tuple(r * 11 + c for r, c in rc_list)
+
+    racks = []
+    for r in (2, 5, 8):
+        for c0 in (2, 7):
+            racks += [(r, c0), (r, c0 + 1), (r, c0 + 2)]
+    base = dict(height=11, width=11, num_agents=6, queue_capacity=12,
+                init_requests=6, walls=cells(racks))
     base.update(kw)
     return EnvConfig(**base)
 

@@ -5,12 +5,14 @@ from __future__ import annotations
 import argparse
 import json
 
-from .config import EnvConfig, large_config, medium_config, small_config
+from .config import (EnvConfig, large_config, medium_config, shelves_config,
+                     small_config)
 
 _PRESETS = {
     "small": small_config,
     "medium": medium_config,
     "large": large_config,
+    "shelves": shelves_config,
 }
 
 

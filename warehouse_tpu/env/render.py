@@ -5,6 +5,7 @@ Capability parity with the reference's ``render()`` (exact medium unknown
 
 Legend:
   .   empty floor          p   pending pickup cell
+  #   wall/shelf
   d   drop cell of an active (assigned or in-transit) request
   0-9 agent index (uppercase hex letter if carrying: A=agent 10 is not
       supported beyond 36 agents)
@@ -29,6 +30,8 @@ def render_ascii(cfg: EnvConfig, state) -> str:
     st = np.asarray(state.req_status)
 
     grid = np.full((cfg.height, cfg.width), ".", dtype="<U2")
+    for w in cfg.walls:
+        grid[w // cfg.width, w % cfg.width] = "#"
     for r in range(cfg.queue_capacity):
         if st[r] == PENDING:
             grid[rp[r, 0], rp[r, 1]] = "p"

@@ -46,6 +46,7 @@ def get_lib() -> ctypes.CDLL:
     lib.wh_step_batch.argtypes = [
         c, c, c, c, c,
         i32p, i32p, u8p, i32p, i32p, i32p, i32p, i32p,
+        u8p,  # walls bitmap [H*W]
         i32p, f32p, i32p, i32p,
         cf, cf, cf, cf, cf,
         f32p, u8p, u8p, u8p,
@@ -74,6 +75,9 @@ class NativeBatchedEnv:
         self.req_status = np.zeros((batch, R), np.int32)
         self.req_agent = np.full((batch, R), -1, np.int32)
         self.t = np.zeros(batch, np.int32)
+        self.walls = np.zeros(cfg.num_cells, np.uint8)
+        for w in cfg.walls:
+            self.walls[w] = 1
 
     def load_state(self, b: int, state) -> None:
         """Copy one env's state (engine EnvState or oracle state) in."""
@@ -100,6 +104,7 @@ class NativeBatchedEnv:
             self.agent_pos, self.agent_req, self.carrying,
             self.req_pickup, self.req_drop, self.req_status,
             self.req_agent, self.t,
+            self.walls,
             np.ascontiguousarray(actions, np.int32),
             np.ascontiguousarray(spawn_u, np.float32),
             np.ascontiguousarray(spawn_pick, np.int32),

@@ -21,6 +21,7 @@ constexpr int kDeltas[5][2] = {{0, 0}, {-1, 0}, {1, 0}, {0, -1}, {0, 1}};
 
 struct Env {
   int A, R, H, W;
+  const uint8_t* walls;  // [H*W] 1 = blocked (docs/SEMANTICS.md §1a)
   int32_t* pos;      // [A,2]
   int32_t* areq;     // [A]
   uint8_t* carry;    // [A]
@@ -40,10 +41,13 @@ void move(const Env& e, const int32_t* actions, uint8_t* collided,
     moving[i] = actions[i] != 0;
     collided[i] = 0;
   }
-  // Rule 1: bounds.
+  // Rule 1: bounds + walls.
   for (int i = 0; i < A; ++i) {
-    if (moving[i] && (prop[2 * i] < 0 || prop[2 * i] >= e.H ||
-                      prop[2 * i + 1] < 0 || prop[2 * i + 1] >= e.W)) {
+    bool oob = prop[2 * i] < 0 || prop[2 * i] >= e.H ||
+               prop[2 * i + 1] < 0 || prop[2 * i + 1] >= e.W;
+    bool wall = !oob && e.walls != nullptr &&
+                e.walls[prop[2 * i] * e.W + prop[2 * i + 1]];
+    if (moving[i] && (oob || wall)) {
       prop[2 * i] = e.pos[2 * i];
       prop[2 * i + 1] = e.pos[2 * i + 1];
       moving[i] = 0;
@@ -207,6 +211,7 @@ void wh_step_batch(
     int32_t* req_status,       // [B,R]
     int32_t* req_agent,        // [B,R]
     int32_t* t,                // [B]
+    const uint8_t* walls,      // [H*W], may be null
     const int32_t* actions,    // [B,A]
     const float* spawn_u,      // [B]
     const int32_t* spawn_pick, // [B]
@@ -218,7 +223,7 @@ void wh_step_batch(
     uint8_t* delivered,        // [B,A]
     uint8_t* collided) {       // [B,A]
   for (int b = 0; b < B; ++b) {
-    Env e{A, R, H, W,
+    Env e{A, R, H, W, walls,
           agent_pos + (size_t)b * A * 2,
           agent_req + (size_t)b * A,
           carrying + (size_t)b * A,

@@ -36,13 +36,22 @@ def resolve_moves(cfg: EnvConfig, pos: jnp.ndarray, actions: jnp.ndarray):
     proposed = actions != 0
     prop = pos + ACTION_DELTAS[actions]
 
-    # Rule 1: bounds.
+    # Rule 1: bounds + static walls (docs/SEMANTICS.md §1a). Wall checks
+    # are unrolled compares against the (static) wall cell ids — no
+    # gather. Out-of-bounds proposals may alias a wall id after
+    # row-major flattening, but `inb` already vetoes them.
     inb = (
         (prop[:, 0] >= 0)
         & (prop[:, 0] < cfg.height)
         & (prop[:, 1] >= 0)
         & (prop[:, 1] < cfg.width)
     )
+    if cfg.walls:
+        cell = prop[:, 0] * cfg.width + prop[:, 1]
+        is_wall = jnp.zeros_like(inb)
+        for w in cfg.walls:
+            is_wall = is_wall | (cell == w)
+        inb = inb & ~is_wall
     moving = proposed & inb
     prop = jnp.where(moving[:, None], prop, pos)
 

@@ -143,8 +143,12 @@ def observe(
         (wr == tgt[:, None, 0]) & (wc == tgt[:, None, 1])
         & has_task[:, None]
     )
-    # ch3: cell inside the grid.
+    # ch3: cell inside the grid and not a wall (docs/SEMANTICS.md §1a).
     ch3 = (wr >= 0) & (wr < H) & (wc >= 0) & (wc < W)
+    if cfg.walls:
+        wcell = wr * W + wc
+        for w in cfg.walls:
+            ch3 = ch3 & (wcell != w)
 
     win = jnp.stack(
         [

@@ -91,15 +91,19 @@ class NumpyDrawSource:
         self._rng = np.random.default_rng(seed)
 
     def reset(self, cfg: EnvConfig) -> ResetDrawsNp:
-        cells = self._rng.permutation(cfg.num_cells)[: cfg.num_agents]
-        pick = self._rng.integers(0, cfg.num_cells, size=cfg.init_requests)
-        drop = self._rng.integers(0, cfg.num_cells, size=cfg.init_requests)
+        free = np.array(cfg.free_cells)
+        cells = free[self._rng.permutation(cfg.num_free)[: cfg.num_agents]]
+        pick = free[self._rng.integers(0, cfg.num_free,
+                                       size=cfg.init_requests)]
+        drop = free[self._rng.integers(0, cfg.num_free,
+                                       size=cfg.init_requests)]
         return ResetDrawsNp(cells, pick, drop)
 
     def step(self, cfg: EnvConfig) -> StepDrawsNp:
+        free = cfg.free_cells
         u = float(self._rng.random())
-        pick = int(self._rng.integers(0, cfg.num_cells))
-        drop = int(self._rng.integers(0, cfg.num_cells))
+        pick = free[int(self._rng.integers(0, cfg.num_free))]
+        drop = free[int(self._rng.integers(0, cfg.num_free))]
         return StepDrawsNp(u, pick, drop)
 
     def reset_from_step(self, cfg: EnvConfig) -> ResetDrawsNp:

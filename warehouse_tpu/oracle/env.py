@@ -128,10 +128,14 @@ class OracleEnv:
         moving = actions != 0
         collided = np.zeros(A, dtype=bool)
 
-        # Rule 1: bounds.
+        # Rule 1: bounds + static walls (§1a).
+        wall_set = set(cfg.walls)
         for i in range(A):
             r, c = prop[i]
-            if moving[i] and not (0 <= r < cfg.height and 0 <= c < cfg.width):
+            blocked = not (0 <= r < cfg.height and 0 <= c < cfg.width)
+            if not blocked and wall_set:
+                blocked = int(r) * cfg.width + int(c) in wall_set
+            if moving[i] and blocked:
                 prop[i] = pos[i]
                 moving[i] = False
                 collided[i] = True
@@ -267,6 +271,9 @@ class OracleEnv:
                 for wc in range(S):
                     gr, gc = pr + wr - k, pc + wc - k
                     if not (0 <= gr < cfg.height and 0 <= gc < cfg.width):
+                        continue
+                    if int(gr) * cfg.width + int(gc) in set(cfg.walls):
+                        # wall: visible entities can't be here; ch3 stays 0
                         continue
                     win[wr, wc, 3] = 1.0
                     for j in range(A):

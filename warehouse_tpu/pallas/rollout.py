@@ -109,6 +109,8 @@ def _kernel(cfg: EnvConfig, T: int,
             pr = p_r[i] + dr
             pc_ = p_c[i] + dc
             mv = (a != STAY) & (pr >= 0) & (pr < H) & (pc_ >= 0) & (pc_ < W)
+            for wcell in cfg.walls:  # static unrolled wall checks (§1a)
+                mv = mv & ~((pr == wcell // W) & (pc_ == wcell % W))
             prop_r.append(jnp.where(mv, pr, p_r[i]))
             prop_c.append(jnp.where(mv, pc_, p_c[i]))
             moving.append(mv)

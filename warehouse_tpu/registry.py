@@ -6,12 +6,14 @@ from __future__ import annotations
 
 from typing import Callable
 
-from .config import EnvConfig, large_config, medium_config, small_config
+from .config import (EnvConfig, large_config, medium_config, shelves_config,
+                     small_config)
 
 _REGISTRY: dict[str, Callable[..., EnvConfig]] = {
     "warehouse-small": small_config,
     "warehouse-medium": medium_config,
     "warehouse-large": large_config,
+    "warehouse-shelves": shelves_config,
 }
 
 

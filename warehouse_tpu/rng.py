@@ -32,40 +32,51 @@ class StepDraws(NamedTuple):
     spawn_drop: jax.Array  # int32 cell id
 
 
+def _free_cells(cfg: EnvConfig) -> jax.Array:
+    """Row-major free-cell ids as a trace-time constant (§1a)."""
+    import numpy as np
+
+    return jnp.asarray(np.array(cfg.free_cells, dtype=np.int32))
+
+
 def reset_draws(key: jax.Array, cfg: EnvConfig) -> ResetDraws:
-    """Draws for ``reset`` (docs/SEMANTICS.md §9)."""
+    """Draws for ``reset`` (docs/SEMANTICS.md §9). All cell draws index
+    into ``free_cells`` — identity when there are no walls."""
+    free = _free_cells(cfg)
     carry_key, pos_key, req_key = jax.random.split(key, 3)
-    perm = jax.random.permutation(pos_key, cfg.num_cells)
-    agent_cells = perm[: cfg.num_agents].astype(jnp.int32)
+    perm = jax.random.permutation(pos_key, cfg.num_free)
+    agent_cells = free[perm[: cfg.num_agents]].astype(jnp.int32)
     n = max(cfg.init_requests, 1)  # avoid zero-size vmap; sliced below
     slots = jnp.arange(n)
     pick = jax.vmap(
         lambda s: jax.random.randint(
-            jax.random.fold_in(req_key, 2 * s), (), 0, cfg.num_cells
+            jax.random.fold_in(req_key, 2 * s), (), 0, cfg.num_free
         )
     )(slots)
     drop = jax.vmap(
         lambda s: jax.random.randint(
-            jax.random.fold_in(req_key, 2 * s + 1), (), 0, cfg.num_cells
+            jax.random.fold_in(req_key, 2 * s + 1), (), 0, cfg.num_free
         )
     )(slots)
     k = cfg.init_requests
     return ResetDraws(
         carry_key,
         agent_cells,
-        pick[:k].astype(jnp.int32),
-        drop[:k].astype(jnp.int32),
+        free[pick[:k]].astype(jnp.int32),
+        free[drop[:k]].astype(jnp.int32),
     )
 
 
 def step_draws(key: jax.Array, cfg: EnvConfig) -> StepDraws:
-    """Draws for one ``step`` tick (docs/SEMANTICS.md §9)."""
+    """Draws for one ``step`` tick (docs/SEMANTICS.md §9). Spawn cells
+    are drawn over free cells and returned as actual cell ids."""
+    free = _free_cells(cfg)
     next_key, sk, reset_key = jax.random.split(key, 3)
     u = jax.random.uniform(jax.random.fold_in(sk, 0))
-    pick = jax.random.randint(
-        jax.random.fold_in(sk, 1), (), 0, cfg.num_cells
-    ).astype(jnp.int32)
-    drop = jax.random.randint(
-        jax.random.fold_in(sk, 2), (), 0, cfg.num_cells
-    ).astype(jnp.int32)
+    pick = free[jax.random.randint(
+        jax.random.fold_in(sk, 1), (), 0, cfg.num_free
+    )].astype(jnp.int32)
+    drop = free[jax.random.randint(
+        jax.random.fold_in(sk, 2), (), 0, cfg.num_free
+    )].astype(jnp.int32)
     return StepDraws(next_key, reset_key, u, pick, drop)
