@@ -101,6 +101,9 @@ def main(argv=None) -> None:
     p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--episodes", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sample", action="store_true",
+                   help="sample checkpoint-policy actions from the "
+                        "categorical instead of argmax")
     args = p.parse_args(argv)
 
     import jax
@@ -129,9 +132,14 @@ def main(argv=None) -> None:
         model = make_model(cfg, arch=args.arch, hidden_dim=args.hidden_dim)
         params = load_checkpoint_params(cfg, model, args.checkpoint_dir)
 
-        def policy_fn(state, obs, key):
-            logits, _ = model.apply(params, obs)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if args.sample:
+            def policy_fn(state, obs, key):
+                logits, _ = model.apply(params, obs)
+                return jax.random.categorical(key, logits).astype(jnp.int32)
+        else:
+            def policy_fn(state, obs, key):
+                logits, _ = model.apply(params, obs)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     metrics = evaluate_policy(cfg, policy_fn, args.episodes, args.seed)
     for k, v in metrics.items():
