@@ -1,5 +1,7 @@
 """Actor-critic policy models (flax)."""
 
-from .policy import ActorCriticCNN, ActorCriticMLP, make_model
+from .policy import (ActorCriticCNN, ActorCriticMLP, MultiPolicyActorCritic,
+                     make_model, make_multi_policy_model)
 
-__all__ = ["ActorCriticMLP", "ActorCriticCNN", "make_model"]
+__all__ = ["ActorCriticMLP", "ActorCriticCNN", "MultiPolicyActorCritic",
+           "make_model", "make_multi_policy_model"]

@@ -95,3 +95,45 @@ def make_model(cfg: EnvConfig, arch: str = "mlp", hidden_dim: int = 128,
             hidden=hidden_dim, dtype=dtype,
         )
     raise ValueError(f"unknown arch {arch!r}")
+
+
+class MultiPolicyActorCritic(nn.Module):
+    """K independent policies with a static agent→policy mapping.
+
+    Capability parity with RLlib's multi-agent ``policies`` +
+    ``policy_mapping_fn`` (SURVEY.md C12/[API]): heterogeneous policies
+    per agent group, one parameter tree per group, dispatched by a
+    per-sample group id. All K forwards are computed and selected per
+    sample — exact, vmap/shard-friendly, and cheap for the small K this
+    workload uses.
+    """
+
+    policies: Sequence[nn.Module]
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, group_ids: jax.Array):
+        outs = [p(obs) for p in self.policies]
+        logits = jnp.stack([o[0] for o in outs], axis=0)  # [K, ..., 5]
+        values = jnp.stack([o[1] for o in outs], axis=0)  # [K, ...]
+        k = len(self.policies)
+        sel = jax.nn.one_hot(group_ids, k, dtype=logits.dtype)  # [..., K]
+        sel_t = jnp.moveaxis(sel, -1, 0)                        # [K, ...]
+        logits = (logits * sel_t[..., None]).sum(0)
+        values = (values * sel_t).sum(0)
+        return logits, values
+
+
+def make_multi_policy_model(cfg: EnvConfig, policy_groups, arch="mlp",
+                            hidden_dim=128, num_layers=2):
+    """policy_groups: tuple len num_agents of group indices 0..K-1."""
+    if len(policy_groups) != cfg.num_agents:
+        raise ValueError("policy_groups must have one entry per agent")
+    k = max(policy_groups) + 1
+    if sorted(set(policy_groups)) != list(range(k)):
+        raise ValueError("group ids must be 0..K-1 with no gaps")
+    subs = [
+        make_model(cfg, arch=arch, hidden_dim=hidden_dim,
+                   num_layers=num_layers)
+        for _ in range(k)
+    ]
+    return MultiPolicyActorCritic(policies=subs)

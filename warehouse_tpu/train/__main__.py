@@ -30,6 +30,10 @@ def main(argv=None) -> None:
     p.add_argument("--kl-target", type=float, default=0.01)
     p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
+    p.add_argument("--policy-groups", default=None,
+                   help="comma-separated policy group per agent, e.g. "
+                        "'0,0,1,1' trains 2 policies (RLlib "
+                        "policy_mapping_fn parity); default: shared")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -90,7 +94,13 @@ def main(argv=None) -> None:
         log.info("mesh: %s", mesh)
     log.info("devices: %d  env: %s", len(devices), env_cfg.to_json())
 
-    trainer = make_train(env_cfg, tcfg, arch=args.arch, mesh=mesh)
+    policy_groups = None
+    if args.policy_groups:
+        policy_groups = tuple(
+            int(x) for x in args.policy_groups.split(",")
+        )
+    trainer = make_train(env_cfg, tcfg, arch=args.arch, mesh=mesh,
+                         policy_groups=policy_groups)
     rs = trainer.init_global(jax.random.PRNGKey(args.seed))
 
     start_update = 0

@@ -56,16 +56,38 @@ def make_train(
     tcfg: TrainConfig,
     arch: str = "mlp",
     mesh=None,
+    policy_groups: tuple | None = None,
 ):
     """Build (init_fn, train_step_fn, model, tx).
 
     With ``mesh``: ``init(key)`` returns a sharded RunnerState and
     ``train_step`` is a jitted shard_map over the ``data`` axis.
     Without: single-device jit. ``num_envs`` is the GLOBAL batch.
+
+    ``policy_groups``: optional tuple of length num_agents mapping each
+    agent to a policy group 0..K-1 — trains K independent policies
+    (RLlib policy_mapping_fn capability). Default: one shared policy.
     """
     env_cfg = env_cfg.replace(auto_reset=True)
-    model = make_model(env_cfg, arch=arch, hidden_dim=tcfg.hidden_dim,
-                       num_layers=tcfg.num_layers)
+    if policy_groups is not None:
+        from ..models import make_multi_policy_model
+
+        model = make_multi_policy_model(
+            env_cfg, policy_groups, arch=arch,
+            hidden_dim=tcfg.hidden_dim, num_layers=tcfg.num_layers,
+        )
+        groups_arr = jnp.array(policy_groups, jnp.int32)
+
+        def apply_model(params, obs, gids):
+            return model.apply(params, obs, gids)
+
+    else:
+        model = make_model(env_cfg, arch=arch, hidden_dim=tcfg.hidden_dim,
+                           num_layers=tcfg.num_layers)
+        groups_arr = jnp.zeros(env_cfg.num_agents, jnp.int32)
+
+        def apply_model(params, obs, gids):
+            return model.apply(params, obs)
 
     n_shards = 1 if mesh is None else mesh.shape[DATA_AXIS]
     if tcfg.num_envs % max(n_shards, 1):
@@ -93,7 +115,10 @@ def make_train(
     def init(key: jax.Array) -> RunnerState:
         pkey, ekey, skey = jax.random.split(key, 3)
         dummy = jnp.zeros((1, env_cfg.obs_dim), jnp.float32)
-        params = model.init(pkey, dummy)
+        if policy_groups is not None:
+            params = model.init(pkey, dummy, jnp.zeros(1, jnp.int32))
+        else:
+            params = model.init(pkey, dummy)
         opt_state = tx.init(params)
         env_keys = jax.vmap(
             lambda i: jax.random.fold_in(ekey, i)
@@ -118,10 +143,15 @@ def make_train(
         params = rs.params
         key = rs.key.reshape(2)  # this shard's key (uint32[1, 2] block)
 
+        # Per-sample policy-group ids, broadcast over the env batch.
+        gids_ba = jnp.broadcast_to(
+            groups_arr[None, :], (b_local, env_cfg.num_agents)
+        )
+
         def env_step(carry, _):
             env_state, obs, key = carry
             key, akey = jax.random.split(key)
-            logits, value = model.apply(params, obs)      # [B, A, 5], [B, A]
+            logits, value = apply_model(params, obs, gids_ba)
             action = jax.random.categorical(akey, logits)  # [B, A]
             log_prob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[..., None], axis=-1
@@ -140,7 +170,7 @@ def make_train(
             length=tcfg.unroll_length,
         )
 
-        _, last_value = model.apply(params, last_obs)
+        _, last_value = apply_model(params, last_obs, gids_ba)
         advantages, targets = gae(
             traj.reward, traj.value, traj.done, last_value,
             tcfg.gamma, tcfg.gae_lambda,
@@ -150,14 +180,18 @@ def make_train(
         def flat(x):
             return x.reshape(batch_per_shard, *x.shape[3:])
 
+        gids_tba = jnp.broadcast_to(
+            gids_ba[None], (tcfg.unroll_length, *gids_ba.shape)
+        )
         batch = (
             flat(traj.obs), flat(traj.action), flat(traj.log_prob),
             flat(traj.value), flat(advantages), flat(targets),
+            flat(gids_tba),
         )
 
         def loss_fn(params, mb, kl_coeff):
-            obs, action, old_lp, old_v, adv, tgt = mb
-            logits, value = model.apply(params, obs)
+            obs, action, old_lp, old_v, adv, tgt, gids = mb
+            logits, value = apply_model(params, obs, gids)
             lp = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[..., None], axis=-1
             ).squeeze(-1)
