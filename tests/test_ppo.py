@@ -189,3 +189,81 @@ def test_multi_policy_validation():
         make_train(cfg, t, policy_groups=(0,))
     with _pytest.raises(ValueError, match="no gaps"):
         make_train(cfg, t, policy_groups=(0, 2))
+
+
+def test_shaping_masking_annealing_smoke():
+    """Shaping + action masking + entropy anneal run and stay finite on a
+    walled layout; masked policy never proposes a wall move."""
+    import jax
+
+    from warehouse_tpu.train.ppo import make_train
+
+    cfg = EnvConfig(height=5, width=5, num_agents=2, queue_capacity=4,
+                    init_requests=2, max_steps=16, walls=(10, 11, 13, 14))
+    tcfg = TrainConfig(num_envs=16, unroll_length=4, num_minibatches=2,
+                       ppo_epochs=2, hidden_dim=32, num_updates=4,
+                       shaping_coef=0.05, mask_actions=True,
+                       entropy_coef=0.05, entropy_coef_final=0.001)
+    trainer = make_train(cfg, tcfg)
+    rs = trainer.init(jax.random.PRNGKey(0))
+    for _ in range(3):
+        rs, m = trainer.train_step(rs)
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_shaping_is_zero_on_open_floor_when_disabled():
+    """shaping_coef=0 (default) leaves the trajectory identical: the
+    shaped branch is compiled out, metrics bit-match the baseline run."""
+    import jax
+
+    t1 = make_tiny_trainer()
+    t2 = make_tiny_trainer(shaping_coef=0.0)
+    rs1 = t1.init(jax.random.PRNGKey(3))
+    rs2 = t2.init(jax.random.PRNGKey(3))
+    rs1, m1 = t1.train_step(rs1)
+    rs2, m2 = t2.train_step(rs2)
+    for k in m1:
+        assert float(m1[k]) == float(m2[k]), k
+
+
+def test_masked_actions_never_hit_walls():
+    """With mask_actions, collisions can only be agent-agent or grid-edge
+    — never wall cells: assert no agent ever occupies or is reverted
+    FROM a wall-adjacent proposal... (direct check: rollout actions all
+    satisfy the valid mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    from warehouse_tpu.env import engine
+    from warehouse_tpu.models import make_model
+    from warehouse_tpu.ops.move import valid_action_mask
+    from warehouse_tpu.train.ppo import make_train
+
+    cfg = EnvConfig(height=5, width=5, num_agents=2, queue_capacity=4,
+                    init_requests=2, max_steps=16, walls=(10, 11, 13, 14),
+                    auto_reset=True)
+    tcfg = TrainConfig(num_envs=8, unroll_length=8, num_minibatches=2,
+                       ppo_epochs=1, hidden_dim=32, mask_actions=True)
+    trainer = make_train(cfg, tcfg)
+    rs = trainer.init(jax.random.PRNGKey(1))
+    rs, _ = trainer.train_step(rs)
+
+    # Re-roll manually with the trained params + masking: sampled actions
+    # must always be valid.
+    model, params = trainer.model, rs.params
+    key = jax.random.PRNGKey(5)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(8))
+    state, obs = jax.vmap(lambda k: engine.reset(cfg, k))(keys)
+    for t in range(16):
+        logits, _ = model.apply(params, obs)
+        mask = jax.vmap(lambda p: valid_action_mask(cfg, p))(state.agent_pos)
+        logits = jnp.where(mask, logits, -1e9)
+        key, ak = jax.random.split(key)
+        acts = jax.random.categorical(ak, logits)
+        ok = jnp.take_along_axis(mask, acts[..., None], axis=-1)
+        assert bool(ok.all()), f"invalid action sampled at t={t}"
+        state, ts = jax.vmap(
+            lambda s, a: engine.step(cfg, s, a)
+        )(state, acts.astype(jnp.int32))
+        obs = ts.obs

@@ -1,6 +1,7 @@
-"""Baseline policies (greedy nearest-request, uniform random)."""
+"""Baseline policies (greedy nearest-request, obstacle-aware greedy,
+uniform random)."""
 
-from .greedy import greedy_actions
+from .greedy import greedy_actions, greedy_bfs_actions
 from .random import random_actions
 
-__all__ = ["greedy_actions", "random_actions"]
+__all__ = ["greedy_actions", "greedy_bfs_actions", "random_actions"]

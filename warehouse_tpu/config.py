@@ -171,6 +171,18 @@ class TrainConfig:
     learning_rate: float = 3e-4
     max_grad_norm: float = 0.5
     anneal_lr: bool = True
+    # Linear entropy-coefficient anneal: entropy_coef → entropy_coef_final
+    # over num_updates. Negative = disabled (constant entropy_coef).
+    entropy_coef_final: float = -1.0
+    # Potential-based reward shaping coefficient (Ng et al. 1999;
+    # ops/pathing.py potential()). 0 = off. Policy-invariant; densifies
+    # the sparse delivery signal on walled layouts (docs/RESULTS.md).
+    shaping_coef: float = 0.0
+    # Mask actions that walk into walls / off the grid at the policy
+    # logits (RLlib action-masking capability; ops/move.py
+    # valid_action_mask). Off-policy-safe: the mask is stored with the
+    # trajectory and re-applied in the loss.
+    mask_actions: bool = False
     # Model
     hidden_dim: int = 128
     num_layers: int = 2

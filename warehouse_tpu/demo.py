@@ -20,7 +20,8 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=None,
                    help="default: env max_steps")
-    p.add_argument("--policy", choices=["greedy", "random", "checkpoint"],
+    p.add_argument("--policy",
+                   choices=["greedy", "greedy_bfs", "random", "checkpoint"],
                    default="greedy")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
@@ -60,15 +61,16 @@ def main(argv=None) -> None:
     if args.render:
         print(env.render())
     for t in range(steps):
-        if args.policy == "greedy":
+        if args.policy in ("greedy", "greedy_bfs"):
             if args.backend == "oracle":
-                from .oracle import greedy_actions
-
-                acts = greedy_actions(cfg, env.state)
+                from .oracle import greedy_actions, greedy_bfs_actions
             else:
-                from .baselines.greedy import greedy_actions
-
-                acts = np.asarray(greedy_actions(cfg, env.state))
+                from .baselines.greedy import (
+                    greedy_actions, greedy_bfs_actions,
+                )
+            fn = (greedy_bfs_actions if args.policy == "greedy_bfs"
+                  else greedy_actions)
+            acts = np.asarray(fn(cfg, env.state))
             action_dict = {
                 a: int(acts[i]) for i, a in enumerate(env.possible_agents)
             }

@@ -15,11 +15,17 @@ import numpy as np
 from .configs_cli import add_env_args, apply_backend_args, env_config_from_args
 
 
-def evaluate_policy(cfg, policy_fn, num_episodes: int, seed: int = 0):
+def evaluate_policy(cfg, policy_fn, num_episodes: int, seed: int = 0,
+                    init_carry=None):
     """policy_fn(state, obs, key) -> int32[B, A] actions. Returns metrics.
 
     Runs B=num_episodes envs for exactly max_steps (one episode each;
     auto_reset off) in one jitted scan.
+
+    Recurrent policies: pass ``init_carry(B) -> carry`` and a
+    ``policy_fn(state, obs, key, carry) -> (actions, carry)`` — the
+    carry is threaded through the episode scan (RLlib use_lstm
+    evaluation parity).
     """
     import jax
     import jax.numpy as jnp
@@ -32,20 +38,24 @@ def evaluate_policy(cfg, policy_fn, num_episodes: int, seed: int = 0):
         lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
     )(jnp.arange(B))
     state, obs = jax.jit(jax.vmap(lambda k: engine.reset(cfg, k)))(keys)
+    pc0 = init_carry(B) if init_carry is not None else ()
 
     def body(carry, _):
-        state, obs, key = carry
+        state, obs, key, pc = carry
         key, ak = jax.random.split(key)
-        actions = policy_fn(state, obs, ak)
+        if init_carry is not None:
+            actions, pc = policy_fn(state, obs, ak, pc)
+        else:
+            actions = policy_fn(state, obs, ak)
         state, ts = jax.vmap(
             lambda s, a: engine.step(cfg, s, a)
         )(state, actions)
-        return (state, ts.obs, key), (ts.reward, ts.delivered)
+        return (state, ts.obs, key, pc), (ts.reward, ts.delivered)
 
     @jax.jit
     def run(state, obs):
-        (_, _, _), (rews, dels) = jax.lax.scan(
-            body, (state, obs, jax.random.PRNGKey(seed + 1)), None,
+        (_, _, _, _), (rews, dels) = jax.lax.scan(
+            body, (state, obs, jax.random.PRNGKey(seed + 1), pc0), None,
             length=cfg.max_steps,
         )
         return rews, dels
@@ -94,16 +104,22 @@ def load_checkpoint_params(cfg, model, checkpoint_dir: str):
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("warehouse_tpu.evaluate")
     add_env_args(p)
-    p.add_argument("--policy", choices=["greedy", "random", "checkpoint"],
+    p.add_argument("--policy",
+                   choices=["greedy", "greedy_bfs", "random", "checkpoint"],
                    default="greedy")
     p.add_argument("--checkpoint-dir", default="checkpoints")
-    p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
+    p.add_argument("--arch", choices=["mlp", "cnn", "gru", "lstm"],
+                   default="mlp")
     p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--episodes", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sample", action="store_true",
                    help="sample checkpoint-policy actions from the "
                         "categorical instead of argmax")
+    p.add_argument("--mask-actions", action="store_true",
+                   help="mask wall/out-of-grid moves at the logits "
+                        "(use when the checkpoint was trained with "
+                        "--mask-actions)")
     args = p.parse_args(argv)
 
     import jax
@@ -111,11 +127,14 @@ def main(argv=None) -> None:
     apply_backend_args(args)
     cfg = env_config_from_args(args)
 
-    if args.policy == "greedy":
-        from .baselines.greedy import greedy_actions
+    if args.policy in ("greedy", "greedy_bfs"):
+        from .baselines.greedy import greedy_actions, greedy_bfs_actions
+
+        fn = (greedy_bfs_actions if args.policy == "greedy_bfs"
+              else greedy_actions)
 
         def policy_fn(state, obs, key):
-            return jax.vmap(lambda s: greedy_actions(cfg, s))(state)
+            return jax.vmap(lambda s: fn(cfg, s))(state)
 
     elif args.policy == "random":
         from .baselines.random import random_actions
@@ -128,20 +147,43 @@ def main(argv=None) -> None:
         import jax.numpy as jnp
 
         from .models import make_model
+        from .ops.move import valid_action_mask
 
         model = make_model(cfg, arch=args.arch, hidden_dim=args.hidden_dim)
         params = load_checkpoint_params(cfg, model, args.checkpoint_dir)
+        recurrent = args.arch in ("gru", "lstm")
 
-        if args.sample:
-            def policy_fn(state, obs, key):
-                logits, _ = model.apply(params, obs)
+        def maybe_mask(state, logits):
+            if not args.mask_actions:
+                return logits
+            mask = jax.vmap(
+                lambda p: valid_action_mask(cfg, p)
+            )(state.agent_pos)
+            return jnp.where(mask, logits, -1e9)
+
+        def pick(logits, key):
+            if args.sample:
                 return jax.random.categorical(key, logits).astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        if recurrent:
+            def policy_fn(state, obs, key, carry):
+                logits, _, carry = model.apply(params, obs, carry)
+                return pick(maybe_mask(state, logits), key), carry
+
+            def init_carry(B):
+                return model.initial_carry((B, cfg.num_agents))
         else:
             def policy_fn(state, obs, key):
                 logits, _ = model.apply(params, obs)
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return pick(maybe_mask(state, logits), key)
 
-    metrics = evaluate_policy(cfg, policy_fn, args.episodes, args.seed)
+            init_carry = None
+
+    if args.policy != "checkpoint":
+        init_carry = None
+    metrics = evaluate_policy(cfg, policy_fn, args.episodes, args.seed,
+                              init_carry=init_carry)
     for k, v in metrics.items():
         print(f"{k}: {v}")
 

@@ -78,6 +78,59 @@ class ActorCriticCNN(nn.Module):
         return logits.astype(jnp.float32), value.squeeze(-1).astype(jnp.float32)
 
 
+class ActorCriticRNN(nn.Module):
+    """Recurrent actor-critic: MLP encoder → GRU/LSTM cell → heads.
+
+    Capability parity with RLlib's ``use_lstm`` model option (SURVEY.md
+    C12 [API]): the policy carries per-agent recurrent state across env
+    steps, reset to zeros at episode boundaries. Same shared-parameter
+    per-agent application as the feedforward models; the carry is part
+    of the caller's loop state (``train/ppo_rnn.py`` threads it through
+    the rollout scan and replays it sequence-wise in the loss).
+
+    ``__call__(obs, carry) -> (logits, value, new_carry)`` — one step.
+    """
+
+    num_actions: int
+    cell_type: str = "gru"            # "gru" | "lstm"
+    hidden_dims: Sequence[int] = (128,)
+    rnn_hidden: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    def _cell(self):
+        if self.cell_type == "gru":
+            return nn.GRUCell(features=self.rnn_hidden, dtype=self.dtype)
+        if self.cell_type == "lstm":
+            return nn.OptimizedLSTMCell(features=self.rnn_hidden,
+                                        dtype=self.dtype)
+        raise ValueError(f"unknown cell_type {self.cell_type!r}")
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, carry):
+        x = obs.astype(self.dtype)
+        for h in self.hidden_dims:
+            x = nn.Dense(h, dtype=self.dtype,
+                         kernel_init=nn.initializers.orthogonal(jnp.sqrt(2)))(x)
+            x = nn.tanh(x)
+        carry, y = self._cell()(carry, x)
+        logits = nn.Dense(
+            self.num_actions, dtype=self.dtype,
+            kernel_init=nn.initializers.orthogonal(0.01),
+        )(y)
+        value = nn.Dense(
+            1, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(1.0)
+        )(y)
+        return (logits.astype(jnp.float32),
+                value.squeeze(-1).astype(jnp.float32), carry)
+
+    def initial_carry(self, batch_shape: tuple):
+        """Zero carry for a batch (deterministic; episode-start state)."""
+        h = jnp.zeros((*batch_shape, self.rnn_hidden), self.dtype)
+        if self.cell_type == "lstm":
+            return (h, h)
+        return h
+
+
 def make_model(cfg: EnvConfig, arch: str = "mlp", hidden_dim: int = 128,
                num_layers: int = 2, dtype=jnp.float32) -> nn.Module:
     if arch == "mlp":
@@ -93,6 +146,12 @@ def make_model(cfg: EnvConfig, arch: str = "mlp", hidden_dim: int = 128,
         return ActorCriticCNN(
             num_actions=cfg.num_actions, window_size=side,
             hidden=hidden_dim, dtype=dtype,
+        )
+    if arch in ("gru", "lstm"):
+        return ActorCriticRNN(
+            num_actions=cfg.num_actions, cell_type=arch,
+            hidden_dims=(hidden_dim,) * max(num_layers - 1, 1),
+            rnn_hidden=hidden_dim, dtype=dtype,
         )
     raise ValueError(f"unknown arch {arch!r}")
 

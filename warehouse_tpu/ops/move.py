@@ -84,3 +84,27 @@ def resolve_moves(cfg: EnvConfig, pos: jnp.ndarray, actions: jnp.ndarray):
 
     collided = proposed & ~moving
     return prop, collided
+
+
+def valid_action_mask(cfg: EnvConfig, pos: jnp.ndarray) -> jnp.ndarray:
+    """bool[A, 5]: action doesn't walk out of the grid or into a wall.
+
+    The static (bounds + walls) part of §4.1 rule 1 only — agent-agent
+    conflicts stay dynamic. Used for policy action masking
+    (``TrainConfig.mask_actions``): invalid logits are floored so the
+    policy never samples a guaranteed collision with the layout.
+    """
+    prop = pos[:, None, :] + ACTION_DELTAS[None]  # [A, 5, 2]
+    ok = (
+        (prop[..., 0] >= 0)
+        & (prop[..., 0] < cfg.height)
+        & (prop[..., 1] >= 0)
+        & (prop[..., 1] < cfg.width)
+    )
+    if cfg.walls:
+        cell = prop[..., 0] * cfg.width + prop[..., 1]
+        is_wall = jnp.zeros_like(ok)
+        for w in cfg.walls:
+            is_wall = is_wall | (cell == w)
+        ok = ok & ~is_wall
+    return ok

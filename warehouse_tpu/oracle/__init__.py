@@ -2,7 +2,7 @@
 
 from .draws import JaxDrawSource, NumpyDrawSource
 from .env import OracleEnv, OracleState
-from .greedy import greedy_actions
+from .greedy import greedy_actions, greedy_bfs_actions
 
 __all__ = [
     "JaxDrawSource",
@@ -10,4 +10,5 @@ __all__ = [
     "OracleEnv",
     "OracleState",
     "greedy_actions",
+    "greedy_bfs_actions",
 ]

@@ -25,11 +25,22 @@ def main(argv=None) -> None:
     p.add_argument("--ppo-epochs", type=int, default=4)
     p.add_argument("--num-minibatches", type=int, default=4)
     p.add_argument("--entropy-coef", type=float, default=0.01)
+    p.add_argument("--entropy-coef-final", type=float, default=-1.0,
+                   help="linear entropy anneal target over num_updates "
+                        "(negative = constant --entropy-coef)")
+    p.add_argument("--shaping-coef", type=float, default=0.0,
+                   help="potential-based reward shaping coefficient "
+                        "(BFS distance-to-target potential; 0 = off)")
+    p.add_argument("--mask-actions", action="store_true",
+                   help="mask wall/out-of-grid moves at the policy logits")
     p.add_argument("--kl-coeff", type=float, default=0.0,
                    help="initial adaptive-KL penalty coefficient (0 = off)")
     p.add_argument("--kl-target", type=float, default=0.01)
     p.add_argument("--hidden-dim", type=int, default=128)
-    p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
+    p.add_argument("--arch", choices=["mlp", "cnn", "gru", "lstm"],
+                   default="mlp",
+                   help="gru/lstm train a recurrent policy (RLlib "
+                        "use_lstm parity; see train/ppo_rnn.py)")
     p.add_argument("--policy-groups", default=None,
                    help="comma-separated policy group per agent, e.g. "
                         "'0,0,1,1' trains 2 policies (RLlib "
@@ -78,6 +89,9 @@ def main(argv=None) -> None:
         ppo_epochs=args.ppo_epochs,
         num_minibatches=args.num_minibatches,
         entropy_coef=args.entropy_coef,
+        entropy_coef_final=args.entropy_coef_final,
+        shaping_coef=args.shaping_coef,
+        mask_actions=args.mask_actions,
         kl_coeff=args.kl_coeff,
         kl_target=args.kl_target,
         hidden_dim=args.hidden_dim,
@@ -99,8 +113,16 @@ def main(argv=None) -> None:
         policy_groups = tuple(
             int(x) for x in args.policy_groups.split(",")
         )
-    trainer = make_train(env_cfg, tcfg, arch=args.arch, mesh=mesh,
-                         policy_groups=policy_groups)
+    if args.arch in ("gru", "lstm"):
+        if policy_groups is not None:
+            raise SystemExit("--policy-groups is not supported with "
+                             "recurrent archs")
+        from .ppo_rnn import make_train_rnn
+
+        trainer = make_train_rnn(env_cfg, tcfg, arch=args.arch, mesh=mesh)
+    else:
+        trainer = make_train(env_cfg, tcfg, arch=args.arch, mesh=mesh,
+                             policy_groups=policy_groups)
     rs = trainer.init_global(jax.random.PRNGKey(args.seed))
 
     start_update = 0
@@ -137,12 +159,27 @@ def main(argv=None) -> None:
 
             params = rs.params
 
-            def policy_fn(state, obs, key):
-                logits, _ = trainer.model.apply(params, obs)
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if args.arch in ("gru", "lstm"):
+                def policy_fn(state, obs, key, carry):
+                    logits, _, carry = trainer.model.apply(
+                        params, obs, carry
+                    )
+                    return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                            carry)
+
+                def init_carry(B):
+                    return trainer.model.initial_carry(
+                        (B, env_cfg.num_agents)
+                    )
+            else:
+                def policy_fn(state, obs, key):
+                    logits, _ = trainer.model.apply(params, obs)
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                init_carry = None
 
             ev = evaluate_policy(env_cfg, policy_fn, args.eval_episodes,
-                                 seed=args.seed + u)
+                                 seed=args.seed + u, init_carry=init_carry)
             metrics.log(u + n, {f"eval_{k}": v for k, v in ev.items()
                                 if k != "episodes"})
     metrics.close()

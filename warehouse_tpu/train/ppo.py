@@ -28,6 +28,8 @@ from ..config import EnvConfig, TrainConfig
 from ..env import engine
 from ..models import make_model
 from ..ops.gae import gae
+from ..ops.move import valid_action_mask
+from ..ops.pathing import potential
 from ..parallel.mesh import DATA_AXIS
 
 
@@ -47,8 +49,9 @@ class Transition(NamedTuple):
     action: jax.Array
     log_prob: jax.Array
     value: jax.Array
-    reward: jax.Array
+    reward: jax.Array      # shaped reward when shaping_coef > 0 (GAE input)
     done: jax.Array
+    mask: jax.Array        # bool[..., 5] valid-action mask (all-True if off)
 
 
 def make_train(
@@ -152,20 +155,41 @@ def make_train(
             env_state, obs, key = carry
             key, akey = jax.random.split(key)
             logits, value = apply_model(params, obs, gids_ba)
+            if tcfg.mask_actions:
+                mask = jax.vmap(
+                    lambda p: valid_action_mask(env_cfg, p)
+                )(env_state.agent_pos)                        # [B, A, 5]
+                logits = jnp.where(mask, logits, -1e9)
+            else:
+                mask = jnp.ones(logits.shape, bool)
             action = jax.random.categorical(akey, logits)  # [B, A]
             log_prob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[..., None], axis=-1
             ).squeeze(-1)
+            if tcfg.shaping_coef > 0.0:
+                phi = jax.vmap(lambda s: potential(env_cfg, s))(env_state)
             env_state, ts = jax.vmap(
                 lambda s, a: engine.step(env_cfg, s, a)
             )(env_state, action.astype(jnp.int32))
             done = jnp.broadcast_to(
                 ts.truncated[:, None], ts.reward.shape
             )  # [B, A]
-            tr = Transition(obs, action, log_prob, value, ts.reward, done)
-            return (env_state, ts.obs, key), (tr, ts.delivered)
+            reward = ts.reward
+            if tcfg.shaping_coef > 0.0:
+                # γ·φ(s')·(1−done) − φ(s): on auto-reset ticks the next
+                # state belongs to a fresh episode, so its potential is
+                # cut (standard terminal handling).
+                phi_next = jax.vmap(
+                    lambda s: potential(env_cfg, s)
+                )(env_state)
+                reward = reward + tcfg.shaping_coef * (
+                    tcfg.gamma * phi_next * (1.0 - done) - phi
+                )
+            tr = Transition(obs, action, log_prob, value, reward, done, mask)
+            return (env_state, ts.obs, key), (tr, ts.delivered,
+                                              ts.reward.mean())
 
-        (env_state, last_obs, key), (traj, delivered) = jax.lax.scan(
+        (env_state, last_obs, key), (traj, delivered, raw_rew) = jax.lax.scan(
             env_step, (rs.env_state, rs.obs, key), None,
             length=tcfg.unroll_length,
         )
@@ -186,12 +210,25 @@ def make_train(
         batch = (
             flat(traj.obs), flat(traj.action), flat(traj.log_prob),
             flat(traj.value), flat(advantages), flat(targets),
-            flat(gids_tba),
+            flat(gids_tba), flat(traj.mask),
         )
 
+        # Linear entropy-coefficient anneal (entropy_coef_final >= 0).
+        if tcfg.entropy_coef_final >= 0.0:
+            frac = rs.update_idx.astype(jnp.float32) / max(
+                tcfg.num_updates, 1
+            )
+            ent_coef = tcfg.entropy_coef + frac * (
+                tcfg.entropy_coef_final - tcfg.entropy_coef
+            )
+        else:
+            ent_coef = jnp.float32(tcfg.entropy_coef)
+
         def loss_fn(params, mb, kl_coeff):
-            obs, action, old_lp, old_v, adv, tgt, gids = mb
+            obs, action, old_lp, old_v, adv, tgt, gids, mask = mb
             logits, value = apply_model(params, obs, gids)
+            if tcfg.mask_actions:
+                logits = jnp.where(mask, logits, -1e9)
             lp = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[..., None], axis=-1
             ).squeeze(-1)
@@ -213,7 +250,7 @@ def make_train(
             kl = (old_lp - lp).mean()
             total = (
                 pg_loss + tcfg.value_coef * v_loss
-                - tcfg.entropy_coef * entropy
+                - ent_coef * entropy
                 + kl_coeff * kl
             )
             return total, (pg_loss, v_loss, entropy, kl)
@@ -268,7 +305,7 @@ def make_train(
                 ),
             )
 
-        mean_reward = traj.reward.mean()
+        mean_reward = raw_rew.mean()  # raw env reward (pre-shaping)
         deliveries = delivered.sum(dtype=jnp.float32) / (
             tcfg.unroll_length * b_local
         )
