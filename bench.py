@@ -56,16 +56,20 @@ def main() -> None:
     s2, d, r = episode(state)
     _ = int(d)
 
-    # Per-iter host readback of the delivery count gates each timing on
-    # REAL completion (block_until_ready proved unreliable over the
-    # remote-device transport) and keeps the dynamics live.
-    iters = 4
-    total_d = 0
+    # The timing gate is ONE host readback of the summed delivery count
+    # at the end: every episode's deliveries feed the device-side sum, so
+    # the readback can't complete until all iters have really executed
+    # (block_until_ready proved unreliable over the remote-device
+    # transport, and a readback PER episode pays the tunnel round-trip —
+    # measured at ~64 ms — iters times instead of once).
+    iters = 8
+    deliv_parts = []
     t0 = time.perf_counter()
     for i in range(iters):
         state = reset_all(i)
         state, d, r = episode(state)
-        total_d += int(d)
+        deliv_parts.append(d)
+    total_d = int(sum(deliv_parts))
     dt = time.perf_counter() - t0
     assert total_d > 0, "no deliveries — engine dynamics look broken"
 

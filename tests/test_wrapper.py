@@ -89,3 +89,32 @@ def test_evaluate_policy_helper():
     assert m["episodes"] == 8
     assert np.isfinite(m["mean_episode_return"])
     assert m["mean_deliveries_per_episode"] >= 0
+
+
+def test_render_rgb_and_gif(tmp_path):
+    """rgb_array mode (SURVEY.md C14): correct shape/dtype, walls dark,
+    agents drawn; GIF round-trips through PIL."""
+    import numpy as np
+
+    from warehouse_tpu import EnvConfig
+    from warehouse_tpu.env.render import save_gif
+    from warehouse_tpu.env.wrapper import WarehouseMultiAgentEnv
+
+    cfg = EnvConfig(height=5, width=5, num_agents=2, queue_capacity=4,
+                    init_requests=2, max_steps=8, walls=(12,))
+    env = WarehouseMultiAgentEnv(cfg)
+    env.reset(seed=0)
+    img = env.render(mode="rgb_array")
+    assert img.shape == (5 * 16, 5 * 16, 3) and img.dtype == np.uint8
+    # Wall cell (2,2) interior is dark.
+    assert (img[2 * 16 + 8, 2 * 16 + 8] < 100).all()
+    frames = [img]
+    for _ in range(3):
+        env.step({a: 4 for a in env.possible_agents})
+        frames.append(env.render(mode="rgb_array"))
+    out = tmp_path / "ep.gif"
+    save_gif(frames, str(out))
+    from PIL import Image
+
+    im = Image.open(out)
+    assert im.n_frames == 4

@@ -27,6 +27,9 @@ def main(argv=None) -> None:
     p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
     p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--render", action="store_true")
+    p.add_argument("--gif", default=None, metavar="PATH",
+                   help="write the episode as an animated GIF "
+                        "(rgb_array rendering)")
     p.add_argument("--backend", choices=["jax", "oracle"], default="jax")
     args = p.parse_args(argv)
 
@@ -58,8 +61,11 @@ def main(argv=None) -> None:
 
     returns = {a: 0.0 for a in env.possible_agents}
     deliveries = 0
+    frames = []
     if args.render:
         print(env.render())
+    if args.gif:
+        frames.append(env.render(mode="rgb_array"))
     for t in range(steps):
         if args.policy in ("greedy", "greedy_bfs"):
             if args.backend == "oracle":
@@ -93,8 +99,15 @@ def main(argv=None) -> None:
             returns[a] += rew[a]
         if args.render:
             print(env.render())
+        if args.gif:
+            frames.append(env.render(mode="rgb_array"))
         if trunc["__all__"] or term["__all__"]:
             break
+    if args.gif:
+        from .env.render import save_gif
+
+        save_gif(frames, args.gif)
+        print(f"gif written: {args.gif} ({len(frames)} frames)")
     print(f"episode finished after {t + 1} steps")
     print(f"deliveries: {deliveries}")
     for a, r in returns.items():

@@ -22,7 +22,7 @@ from .render import render_ascii
 class WarehouseMultiAgentEnv:
     """Dict-API adapter. ``backend``: "jax" (engine, B=1) or "oracle"."""
 
-    metadata = {"render_modes": ["ansi"]}
+    metadata = {"render_modes": ["ansi", "rgb_array"]}
 
     def __init__(self, cfg: EnvConfig | None = None,
                  backend: str = "jax", seed: int = 0) -> None:
@@ -114,8 +114,13 @@ class WarehouseMultiAgentEnv:
             self.agents = []
         return obs_d, rew_d, term_d, trunc_d, info_d
 
-    def render(self) -> str:
+    def render(self, mode: str = "ansi"):
+        """mode "ansi" → str; "rgb_array" → uint8[H·px, W·px, 3]."""
         state = self._env.state if self.backend == "oracle" else self._state
+        if mode == "rgb_array":
+            from .render import render_rgb
+
+            return render_rgb(self.cfg, state)
         return render_ascii(self.cfg, state)
 
     # ----------------------------------------------------------- helpers
