@@ -78,6 +78,71 @@ class ActorCriticCNN(nn.Module):
         return logits.astype(jnp.float32), value.squeeze(-1).astype(jnp.float32)
 
 
+class ActorCriticAttn(nn.Module):
+    """Self-attention torso over the obs-window cells.
+
+    Capability parity with RLlib's ``use_attention`` model option
+    (SURVEY.md C12 [API] — RLlib wires a GTrXL attention net when the
+    flag is set). TPU-native take: the S*S window cells become tokens
+    (cell channels → d_model with a learned positional embedding), the
+    6 scalar task features become one extra [task] token, and
+    ``num_blocks`` pre-LN transformer encoder blocks attend over them;
+    the [task] token's output feeds the policy/value heads. Token count
+    is static (S*S + 1 ≤ 122 for the large preset) so the whole thing is
+    a handful of fixed-shape batched matmuls — MXU-friendly, no masking,
+    no KV cache needed (episode memory is the RNN family's job; this is
+    the spatial-attention family).
+    """
+
+    num_actions: int
+    window_size: int              # S: spatial side of the window/grid
+    d_model: int = 64
+    num_heads: int = 4
+    num_blocks: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: jax.Array):
+        S = self.window_size
+        grid_len = S * S * 4
+        cells = obs[..., :grid_len].reshape(*obs.shape[:-1], S * S, 4)
+        feats = obs[..., grid_len:]
+
+        x = nn.Dense(self.d_model, dtype=self.dtype)(cells.astype(self.dtype))
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (S * S, self.d_model), self.dtype,
+        )
+        x = x + pos
+        task = nn.Dense(self.d_model, dtype=self.dtype)(
+            feats.astype(self.dtype)
+        )[..., None, :]                                   # [..., 1, d]
+        x = jnp.concatenate([task, x], axis=-2)           # [..., 1+S*S, d]
+
+        for _ in range(self.num_blocks):
+            y = nn.LayerNorm(dtype=self.dtype)(x)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                qkv_features=self.d_model,
+            )(y, y)
+            x = x + y
+            y = nn.LayerNorm(dtype=self.dtype)(x)
+            y = nn.Dense(4 * self.d_model, dtype=self.dtype)(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.d_model, dtype=self.dtype)(y)
+            x = x + y
+
+        h = nn.LayerNorm(dtype=self.dtype)(x[..., 0, :])  # [task] token out
+        logits = nn.Dense(
+            self.num_actions, dtype=self.dtype,
+            kernel_init=nn.initializers.orthogonal(0.01),
+        )(h)
+        value = nn.Dense(
+            1, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(1.0)
+        )(h)
+        return logits.astype(jnp.float32), value.squeeze(-1).astype(jnp.float32)
+
+
 class ActorCriticRNN(nn.Module):
     """Recurrent actor-critic: MLP encoder → GRU/LSTM cell → heads.
 
@@ -146,6 +211,14 @@ def make_model(cfg: EnvConfig, arch: str = "mlp", hidden_dim: int = 128,
         return ActorCriticCNN(
             num_actions=cfg.num_actions, window_size=side,
             hidden=hidden_dim, dtype=dtype,
+        )
+    if arch == "attn":
+        side = cfg.height if cfg.global_obs else cfg.window_size
+        if cfg.global_obs and cfg.height != cfg.width:
+            raise ValueError("attn+global_obs requires a square grid")
+        return ActorCriticAttn(
+            num_actions=cfg.num_actions, window_size=side,
+            d_model=hidden_dim // 2, num_blocks=num_layers, dtype=dtype,
         )
     if arch in ("gru", "lstm"):
         return ActorCriticRNN(

@@ -37,7 +37,7 @@ def main(argv=None) -> None:
                    help="initial adaptive-KL penalty coefficient (0 = off)")
     p.add_argument("--kl-target", type=float, default=0.01)
     p.add_argument("--hidden-dim", type=int, default=128)
-    p.add_argument("--arch", choices=["mlp", "cnn", "gru", "lstm"],
+    p.add_argument("--arch", choices=["mlp", "cnn", "attn", "gru", "lstm"],
                    default="mlp",
                    help="gru/lstm train a recurrent policy (RLlib "
                         "use_lstm parity; see train/ppo_rnn.py)")

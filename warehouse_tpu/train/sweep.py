@@ -1,0 +1,161 @@
+"""Hyperparameter sweep harness — Ray Tune capability parity, TPU-native.
+
+The reference stack launches hyperparameter trials as separate Ray Tune
+process trials (`tune.run(PPO, config={"lr": tune.grid_search([...])})`
+— SURVEY.md §3.1 [API]). The TPU-native equivalent keeps the whole
+sweep on-device:
+
+- **Seeds are a vmap axis.** Each grid point trains `num_seeds`
+  independent replicas *in one compiled program*: `jax.vmap` over the
+  full `train_many` update scan batches all per-seed policies, env
+  shards, and optimizer states into single large matmuls — the
+  Podracer/"one chip, many experiments" pattern. This also yields the
+  seed-variance band that BASELINE.json:10's learning-curve criterion
+  is defined against, for free.
+- **Grid points are sequential compiles.** TrainConfig fields are
+  compile-time constants (shapes/fused scalars), so each grid point is
+  one retrace — amortized by the vmapped seed axis inside it.
+
+Results stream to a JSONL file (one row per (trial, seed) plus a final
+summary row — `tune.ResultGrid` equivalent) and the best trial is
+selected by the mean of `select_metric` over the last `last_k` updates,
+averaged over seeds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+
+from ..config import EnvConfig, TrainConfig
+from .ppo import make_train
+
+
+def _grid_points(grid: dict[str, Sequence[Any]]) -> list[dict[str, Any]]:
+    """Cartesian product of the grid, key-sorted for determinism."""
+    keys = sorted(grid)
+    return [dict(zip(keys, vals))
+            for vals in itertools.product(*(grid[k] for k in keys))]
+
+
+def run_trial(env_cfg: EnvConfig, tcfg: TrainConfig, num_seeds: int,
+              arch: str = "mlp"):
+    """Train `num_seeds` replicas of one config in one vmapped program.
+
+    Returns `metrics`: dict of arrays [num_seeds, num_updates].
+    """
+    trainer = make_train(env_cfg, tcfg, arch=arch)
+    keys = jax.vmap(
+        lambda s: jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), s)
+    )(np.arange(num_seeds))
+    rs = jax.vmap(trainer.init)(keys)
+    n = tcfg.num_updates
+    rs, metrics = jax.jit(
+        jax.vmap(lambda r: trainer.train_many(r, n))
+    )(rs)
+    metrics = {k: np.asarray(v) for k, v in metrics.items()}
+    return rs, metrics
+
+
+def run_sweep(
+    env_cfg: EnvConfig,
+    base_tcfg: TrainConfig,
+    grid: dict[str, Sequence[Any]],
+    num_seeds: int = 1,
+    arch: str = "mlp",
+    select_metric: str = "deliveries_per_env_step",
+    last_k: int = 10,
+    out_path: str | None = None,
+    mode: str = "max",
+):
+    """Grid-search sweep. Returns (rows, best) where `rows` is the JSONL
+    payload (one dict per (trial, seed) + summary) and `best` is the
+    summary of the winning trial."""
+    if mode not in ("max", "min"):
+        raise ValueError("mode must be 'max' or 'min'")
+    points = _grid_points(grid)
+    if not points:
+        raise ValueError("empty grid")
+    rows: list[dict[str, Any]] = []
+    trial_scores: list[float] = []
+    for i, point in enumerate(points):
+        tcfg = base_tcfg.replace(**point)
+        _, metrics = run_trial(env_cfg, tcfg, num_seeds, arch=arch)
+        curve = metrics[select_metric]                 # [S, n]
+        k = min(last_k, curve.shape[1])
+        per_seed = curve[:, -k:].mean(axis=1)          # [S]
+        for s in range(num_seeds):
+            rows.append({
+                "trial": i,
+                "overrides": point,
+                "seed": s,
+                "score": float(per_seed[s]),
+                "final": {m: float(v[s, -1]) for m, v in metrics.items()},
+            })
+        trial_scores.append(float(per_seed.mean()))
+    sign = 1.0 if mode == "max" else -1.0
+    best_i = int(np.argmax([sign * s for s in trial_scores]))
+    seed_scores = [r["score"] for r in rows if r["trial"] == best_i]
+    best = {
+        "summary": True,
+        "select_metric": select_metric,
+        "mode": mode,
+        "num_trials": len(points),
+        "num_seeds": num_seeds,
+        "best_trial": best_i,
+        "best_overrides": points[best_i],
+        "best_score_mean": trial_scores[best_i],
+        "best_score_std": float(np.std(seed_scores)),
+        "all_scores": trial_scores,
+    }
+    rows.append(best)
+    if out_path:
+        with open(out_path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return rows, best
+
+
+def main(argv: Sequence[str] | None = None) -> None:
+    from ..configs_cli import (add_env_args, apply_backend_args,
+                               env_config_from_args)
+
+    p = argparse.ArgumentParser(
+        prog="python -m warehouse_tpu.train.sweep",
+        description="Grid hyperparameter sweep with vmapped parallel seeds",
+    )
+    add_env_args(p)
+    p.add_argument("--grid", required=True,
+                   help='JSON, e.g. \'{"learning_rate": [3e-4, 1e-3]}\'')
+    p.add_argument("--seeds", type=int, default=2)
+    p.add_argument("--updates", type=int, default=50)
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--unroll", type=int, default=16)
+    p.add_argument("--arch", default="mlp",
+                   choices=["mlp", "cnn", "attn"])
+    p.add_argument("--select", default="deliveries_per_env_step")
+    p.add_argument("--mode", default="max", choices=["max", "min"])
+    p.add_argument("--last-k", type=int, default=10)
+    p.add_argument("--out", default="sweep.jsonl")
+    args = p.parse_args(argv)
+    apply_backend_args(args)
+
+    grid = json.loads(args.grid)
+    env_cfg = env_config_from_args(args)
+    tcfg = TrainConfig(num_envs=args.num_envs, unroll_length=args.unroll,
+                       num_updates=args.updates)
+    rows, best = run_sweep(
+        env_cfg, tcfg, grid, num_seeds=args.seeds, arch=args.arch,
+        select_metric=args.select, last_k=args.last_k,
+        out_path=args.out, mode=args.mode,
+    )
+    print(json.dumps(best, indent=2))
+
+
+if __name__ == "__main__":
+    main()
