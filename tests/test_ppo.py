@@ -267,3 +267,23 @@ def test_masked_actions_never_hit_walls():
             lambda s, a: engine.step(cfg, s, a)
         )(state, acts.astype(jnp.int32))
         obs = ts.obs
+
+
+def test_bf16_model_dtype():
+    """bfloat16 compute: training runs, loss finite, params stay fp32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from warehouse_tpu.train.ppo import make_train
+
+    cfg = small_config(max_steps=8)
+    t = TrainConfig(num_envs=8, unroll_length=4, num_updates=2,
+                    num_minibatches=2, ppo_epochs=1, hidden_dim=32,
+                    model_dtype="bfloat16")
+    trainer = make_train(cfg, t)
+    rs = trainer.init(jax.random.PRNGKey(0))
+    dtypes = {str(x.dtype) for x in jax.tree.leaves(rs.params)}
+    assert dtypes == {"float32"}
+    rs, metrics = trainer.train_step(rs)
+    assert np.isfinite(float(metrics["loss"]))

@@ -97,3 +97,79 @@ def test_sweep_cli(tmp_path):
     ])
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert lines[-1]["summary"] is True
+
+
+def test_random_search_points():
+    from warehouse_tpu.train.sweep import _random_points
+
+    space = {
+        "learning_rate": {"loguniform": [1e-5, 1e-2]},
+        "entropy_coef": {"uniform": [0.0, 0.05]},
+        "num_minibatches": [2, 4],
+        "ppo_epochs": {"randint": [1, 5]},
+    }
+    pts = _random_points(space, 16, seed=3)
+    assert len(pts) == 16
+    assert pts == _random_points(space, 16, seed=3)       # deterministic
+    assert pts != _random_points(space, 16, seed=4)
+    for p in pts:
+        assert 1e-5 <= p["learning_rate"] <= 1e-2
+        assert 0.0 <= p["entropy_coef"] <= 0.05
+        assert p["num_minibatches"] in (2, 4)
+        assert 1 <= p["ppo_epochs"] < 5
+
+
+def test_random_search_sweep():
+    cfg = small_config(max_steps=8)
+    rows, best = run_sweep(
+        cfg, _tiny_tcfg(num_updates=2),
+        {"learning_rate": {"loguniform": [1e-4, 1e-3]}},
+        num_seeds=1, search="random", num_samples=2, last_k=2,
+    )
+    assert best["num_trials"] == 2
+    lrs = {r["overrides"]["learning_rate"] for r in rows if "overrides" in r}
+    assert len(lrs) == 2
+
+
+def test_asha_successive_halving(tmp_path):
+    from warehouse_tpu.train.sweep import run_asha
+
+    cfg = small_config(max_steps=8)
+    out = tmp_path / "asha.jsonl"
+    rows, best = run_asha(
+        cfg, _tiny_tcfg(),
+        grid={"learning_rate": [1e-4, 3e-4, 1e-3, 3e-3]},
+        rung_updates=(2, 2), eta=2, num_seeds=1, last_k=2,
+        out_path=str(out),
+    )
+    # Rung 0: all 4 trials scored, exactly 2 promoted (eta=2).
+    r0 = [r for r in rows if r.get("rung") == 0]
+    assert len(r0) == 4
+    assert sum(r["promoted"] for r in r0) == 2
+    # Rung 1 (final): only the 2 survivors trained further.
+    r1 = [r for r in rows if r.get("rung") == 1]
+    assert len(r1) == 2
+    assert all(r["updates_so_far"] == 4 for r in r1)
+    # Best trial survived to the last rung.
+    assert best["best_trial"] in {r["trial"] for r in r1}
+    promoted_r0 = {r["trial"] for r in r0 if r["promoted"]}
+    assert {r["trial"] for r in r1} == promoted_r0
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert lines[-1]["scheduler"] == "asha"
+
+
+def test_asha_cli(tmp_path):
+    from warehouse_tpu.train.sweep import main
+
+    out = tmp_path / "a.jsonl"
+    main([
+        "--env", "small",
+        "--env-config", '{"max_steps": 8}',
+        "--grid", '{"learning_rate": [0.0003, 0.001]}',
+        "--seeds", "1", "--num-envs", "8", "--unroll", "4",
+        "--scheduler", "asha", "--rungs", "2,2", "--eta", "2",
+        "--out", str(out), "--cpu",
+    ])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert lines[-1]["summary"] is True
+    assert lines[-1]["scheduler"] == "asha"

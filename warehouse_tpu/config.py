@@ -186,6 +186,11 @@ class TrainConfig:
     # Model
     hidden_dim: int = 128
     num_layers: int = 2
+    # Compute dtype for the policy torso ("float32" | "bfloat16").
+    # bfloat16 keeps matmuls on the MXU's native dtype; parameters and
+    # the loss stay float32 (models cast logits/values back), so this
+    # is a pure activation/matmul precision knob.
+    model_dtype: str = "float32"
     # Infra
     seed: int = 0
     checkpoint_every: int = 50

@@ -256,7 +256,8 @@ class MultiPolicyActorCritic(nn.Module):
 
 
 def make_multi_policy_model(cfg: EnvConfig, policy_groups, arch="mlp",
-                            hidden_dim=128, num_layers=2):
+                            hidden_dim=128, num_layers=2,
+                            dtype=jnp.float32):
     """policy_groups: tuple len num_agents of group indices 0..K-1."""
     if len(policy_groups) != cfg.num_agents:
         raise ValueError("policy_groups must have one entry per agent")
@@ -265,7 +266,7 @@ def make_multi_policy_model(cfg: EnvConfig, policy_groups, arch="mlp",
         raise ValueError("group ids must be 0..K-1 with no gaps")
     subs = [
         make_model(cfg, arch=arch, hidden_dim=hidden_dim,
-                   num_layers=num_layers)
+                   num_layers=num_layers, dtype=dtype)
         for _ in range(k)
     ]
     return MultiPolicyActorCritic(policies=subs)

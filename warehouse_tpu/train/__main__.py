@@ -37,6 +37,11 @@ def main(argv=None) -> None:
                    help="initial adaptive-KL penalty coefficient (0 = off)")
     p.add_argument("--kl-target", type=float, default=0.01)
     p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--model-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="policy compute dtype; bfloat16 runs the torso "
+                        "matmuls in the MXU's native precision (params "
+                        "and loss stay float32)")
     p.add_argument("--arch", choices=["mlp", "cnn", "attn", "gru", "lstm"],
                    default="mlp",
                    help="gru/lstm train a recurrent policy (RLlib "
@@ -95,6 +100,7 @@ def main(argv=None) -> None:
         kl_coeff=args.kl_coeff,
         kl_target=args.kl_target,
         hidden_dim=args.hidden_dim,
+        model_dtype=args.model_dtype,
         seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint_dir,

@@ -72,12 +72,16 @@ def make_train(
     (RLlib policy_mapping_fn capability). Default: one shared policy.
     """
     env_cfg = env_cfg.replace(auto_reset=True)
+    model_dtype = (
+        jnp.bfloat16 if tcfg.model_dtype == "bfloat16" else jnp.float32
+    )
     if policy_groups is not None:
         from ..models import make_multi_policy_model
 
         model = make_multi_policy_model(
             env_cfg, policy_groups, arch=arch,
             hidden_dim=tcfg.hidden_dim, num_layers=tcfg.num_layers,
+            dtype=model_dtype,
         )
         groups_arr = jnp.array(policy_groups, jnp.int32)
 
@@ -86,7 +90,7 @@ def make_train(
 
     else:
         model = make_model(env_cfg, arch=arch, hidden_dim=tcfg.hidden_dim,
-                           num_layers=tcfg.num_layers)
+                           num_layers=tcfg.num_layers, dtype=model_dtype)
         groups_arr = jnp.zeros(env_cfg.num_agents, jnp.int32)
 
         def apply_model(params, obs, gids):

@@ -54,8 +54,11 @@ def make_train_rnn(
 ):
     """Recurrent twin of ``ppo.make_train``; arch is "gru" or "lstm"."""
     env_cfg = env_cfg.replace(auto_reset=True)
+    model_dtype = (
+        jnp.bfloat16 if tcfg.model_dtype == "bfloat16" else jnp.float32
+    )
     model = make_model(env_cfg, arch=arch, hidden_dim=tcfg.hidden_dim,
-                       num_layers=tcfg.num_layers)
+                       num_layers=tcfg.num_layers, dtype=model_dtype)
 
     n_shards = 1 if mesh is None else mesh.shape[DATA_AXIS]
     if tcfg.num_envs % max(n_shards, 1):
