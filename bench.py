@@ -25,9 +25,19 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 PER_CHIP_TARGET = 10_000_000 / 16
 
 
+def _progress(msg: str) -> None:
+    """Progress marker on stderr (stdout carries ONLY the JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    from warehouse_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from warehouse_tpu import medium_config
     from warehouse_tpu.env import engine
@@ -51,10 +61,15 @@ def main() -> None:
         new_state, deliv, rew = greedy_rollout_pallas(cfg, state, T, BLOCK)
         return new_state, deliv.sum(), rew.sum()
 
+    _progress(f"compiling reset (B={B}) …")
     state = reset_all(0)
     # Warmup/compile.
+    _progress("compiling fused Pallas rollout kernel …")
+    t_c = time.perf_counter()
     s2, d, r = episode(state)
     _ = int(d)
+    _progress(f"warmup episode done in {time.perf_counter() - t_c:.1f}s; "
+              "timing 8 episodes …")
 
     # The timing gate is ONE host readback of the summed delivery count
     # at the end: every episode's deliveries feed the device-side sum, so

@@ -15,3 +15,9 @@ if _flag not in os.environ.get("XLA_FLAGS", ""):
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite recompiles dozens of jitted
+# programs per run on a 2-core host — warm-starting reruns matters.
+from warehouse_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

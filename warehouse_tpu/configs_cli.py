@@ -33,6 +33,9 @@ def apply_backend_args(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def env_config_from_args(args) -> EnvConfig:

@@ -73,32 +73,14 @@ def evaluate_policy(cfg, policy_fn, num_episodes: int, seed: int = 0,
 
 
 def load_checkpoint_params(cfg, model, checkpoint_dir: str):
-    """Restore the latest checkpoint's params for ``model``.
+    """Restore the latest checkpoint's params for ``model`` (see
+    train.checkpoint.restore_params for the device-portability notes)."""
+    from .train.checkpoint import restore_params
 
-    Device-portable: the abstract restore target is built from checkpoint
-    METADATA with the current local device's sharding, so a TPU-saved
-    checkpoint restores on CPU (and vice versa)."""
-    import os
-
-    import jax
-    import orbax.checkpoint as ocp
-
-    from .train import checkpoint as ckpt
-
-    step = ckpt.latest_step(checkpoint_dir)
-    if step is None:
-        raise SystemExit(f"no checkpoints under {checkpoint_dir}")
-    path = os.path.abspath(f"{checkpoint_dir}/step_{step:08d}")
-    ckptr = ocp.StandardCheckpointer()
-    meta = ckptr.metadata(path).item_metadata
-    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
-
-    def to_abstract(m):
-        return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
-
-    abstract = jax.tree.map(to_abstract, meta.tree)
-    restored = ckptr.restore(path, abstract)
-    return restored["params"]
+    try:
+        return restore_params(checkpoint_dir)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
 
 
 def main(argv=None) -> None:

@@ -129,6 +129,14 @@ def main(argv=None) -> None:
     else:
         trainer = make_train(env_cfg, tcfg, arch=args.arch, mesh=mesh,
                              policy_groups=policy_groups)
+    if args.checkpoint_every:
+        # Self-describing checkpoints: serving (warehouse_tpu.serve)
+        # rebuilds the model from this metadata alone.
+        from ..serve import write_policy_meta
+
+        write_policy_meta(args.checkpoint_dir, env_cfg, tcfg,
+                          arch=args.arch, policy_groups=policy_groups)
+
     rs = trainer.init_global(jax.random.PRNGKey(args.seed))
 
     start_update = 0

@@ -57,3 +57,29 @@ def restore_latest(directory: str, target: Any) -> tuple[int, Any] | None:
     if step is None:
         return None
     return step, restore(directory, step, target)
+
+
+def restore_params(directory: str, step: int | None = None) -> Any:
+    """Restore only the ``params`` subtree of a training checkpoint.
+
+    Device-portable (the abstract restore target is built from checkpoint
+    METADATA with the current local device's sharding, so a TPU-saved
+    checkpoint restores on CPU and vice versa) and structure-free: no
+    model object is needed — serving (``warehouse_tpu.serve``) and
+    evaluation load params knowing only the directory.
+    """
+    if step is None:
+        step = latest_step(directory)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    path = os.path.abspath(os.path.join(directory, f"step_{step:08d}"))
+    ckptr = _checkpointer()
+    meta = ckptr.metadata(path).item_metadata
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def to_abstract(m):
+        return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
+
+    abstract = jax.tree.map(to_abstract, meta.tree)
+    restored = ckptr.restore(path, abstract)
+    return restored["params"]
