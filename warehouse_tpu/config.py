@@ -183,6 +183,12 @@ class TrainConfig:
     # valid_action_mask). Off-policy-safe: the mask is stored with the
     # trajectory and re-applied in the loss.
     mask_actions: bool = False
+    # IMPALA / V-trace (train/impala.py; used only when algo="impala").
+    rho_clip: float = 1.0         # ρ̄: V-trace IS clip for targets & pg
+    c_clip: float = 1.0           # c̄: V-trace IS clip for trace cutting
+    impala_passes: int = 1        # replays of each rollout (>1 = stale data,
+                                  # exercised by the V-trace correction)
+    impala_rmsprop: bool = True   # IMPALA's canonical optimizer; False = adam
     # Model
     hidden_dim: int = 128
     num_layers: int = 2

@@ -30,6 +30,13 @@ def add_env_args(p: argparse.ArgumentParser) -> None:
 def apply_backend_args(args) -> None:
     """Must run before any jax computation; safe to call multiple times."""
     if getattr(args, "cpu", False):
+        import os
+
+        # Both knobs: the env var must be set before jax (or a backend
+        # plugin) initializes, and the config update covers the case
+        # where jax is already imported but no backend is live yet. The
+        # axon TPU plugin ignores the config knob alone.
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -18,6 +18,15 @@ from ..configs_cli import add_env_args, apply_backend_args, env_config_from_args
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("warehouse_tpu.train")
     add_env_args(p)
+    p.add_argument("--algo", choices=["ppo", "impala"], default="ppo",
+                   help="impala = V-trace actor-learner (train/impala.py; "
+                        "RLlib ships IMPALA alongside PPO)")
+    p.add_argument("--rho-clip", type=float, default=1.0,
+                   help="V-trace ρ̄ importance clip (impala only)")
+    p.add_argument("--c-clip", type=float, default=1.0,
+                   help="V-trace c̄ trace clip (impala only)")
+    p.add_argument("--impala-passes", type=int, default=1,
+                   help="replays of each rollout per update (impala only)")
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--unroll-length", type=int, default=16)
     p.add_argument("--num-updates", type=int, default=200)
@@ -105,6 +114,9 @@ def main(argv=None) -> None:
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint_dir,
         metrics_path=args.metrics_path,
+        rho_clip=args.rho_clip,
+        c_clip=args.c_clip,
+        impala_passes=args.impala_passes,
     )
 
     devices = jax.devices()
@@ -119,7 +131,15 @@ def main(argv=None) -> None:
         policy_groups = tuple(
             int(x) for x in args.policy_groups.split(",")
         )
-    if args.arch in ("gru", "lstm"):
+    if args.algo == "impala":
+        if args.arch in ("gru", "lstm") or policy_groups is not None:
+            raise SystemExit("--algo impala supports feed-forward archs "
+                             "with a shared policy")
+        from .impala import make_train_impala
+
+        trainer = make_train_impala(env_cfg, tcfg, arch=args.arch,
+                                    mesh=mesh)
+    elif args.arch in ("gru", "lstm"):
         if policy_groups is not None:
             raise SystemExit("--policy-groups is not supported with "
                              "recurrent archs")
