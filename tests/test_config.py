@@ -15,7 +15,7 @@ def test_obs_dim():
     assert cfg.window_size == 5
     assert cfg.obs_dim == 4 * 25 + 6
     g = EnvConfig(global_obs=True)
-    assert g.obs_dim == 4 * 81 + 6
+    assert g.obs_dim == 5 * 81 + 6
 
 
 def test_driver_configs():

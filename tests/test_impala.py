@@ -79,6 +79,36 @@ def test_vtrace_onpolicy_reduces_to_mc_return():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_vtrace_truncation_bootstrap_matches_gae():
+    """On-policy V-trace with bootstrap_values ≡ λ=1 GAE with the same
+    bootstrap values; and bootstrap_values are inert with no boundaries."""
+    from warehouse_tpu.ops.gae import gae
+    from warehouse_tpu.ops.vtrace import vtrace
+
+    rng = np.random.default_rng(5)
+    T, B = 9, 4
+    lp = rng.normal(size=(T, B)).astype(np.float32)
+    rew = rng.normal(size=(T, B)).astype(np.float32)
+    val = rng.normal(size=(T, B)).astype(np.float32)
+    done = rng.random(size=(T, B)) < 0.3
+    boot = rng.normal(size=(T, B)).astype(np.float32)
+    last_v = rng.normal(size=(B,)).astype(np.float32)
+
+    vs, _ = vtrace(lp, lp, rew, val, done, last_v, gamma=0.99,
+                   bootstrap_values=boot)
+    _, targets = gae(rew, val, done, last_v, gamma=0.99, lam=1.0,
+                     bootstrap_values=boot)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(targets),
+                               rtol=1e-5, atol=1e-5)
+
+    no_d = np.zeros((T, B), bool)
+    v1, p1 = vtrace(lp, lp, rew, val, no_d, last_v, gamma=0.99)
+    v2, p2 = vtrace(lp, lp, rew, val, no_d, last_v, gamma=0.99,
+                    bootstrap_values=boot)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_train_step_smoke_and_reproducible():
     import jax
 

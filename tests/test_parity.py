@@ -81,6 +81,15 @@ def test_parity_global_obs():
     rollout_parity(small_config(max_steps=25, global_obs=True), 5, 25, "greedy")
 
 
+def test_parity_global_obs_walls():
+    # Shelves layout + global view: exercises the ch4 traversability
+    # channel (docs/SEMANTICS.md §10) against the oracle bit-for-bit.
+    from warehouse_tpu.config import shelves_config
+
+    rollout_parity(shelves_config(max_steps=20, global_obs=True),
+                   11, 20, "random")
+
+
 def test_parity_radius1():
     rollout_parity(small_config(max_steps=25, obs_radius=1), 6, 25, "random")
 

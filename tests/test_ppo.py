@@ -105,6 +105,98 @@ def test_gae_matches_numpy_reference():
     )
 
 
+def test_gae_truncation_bootstrap_matches_numpy():
+    """bootstrap_values: boundary deltas use V(true successor) instead of
+    0; the λ-trace is still cut. NumPy reference check."""
+    import jax.numpy as jnp
+
+    from warehouse_tpu.ops.gae import gae
+
+    rng = np.random.default_rng(1)
+    T, B = 10, 4
+    rewards = rng.normal(size=(T, B)).astype(np.float32)
+    values = rng.normal(size=(T, B)).astype(np.float32)
+    dones = rng.random((T, B)) < 0.3
+    boot = rng.normal(size=(T, B)).astype(np.float32)
+    last_v = rng.normal(size=(B,)).astype(np.float32)
+    gamma, lam = 0.99, 0.95
+
+    adv_ref = np.zeros((T, B), np.float32)
+    next_adv = np.zeros(B, np.float32)
+    next_val = last_v
+    for t in reversed(range(T)):
+        nd = 1.0 - dones[t].astype(np.float32)
+        nv = nd * next_val + (1.0 - nd) * boot[t]
+        delta = rewards[t] + gamma * nv - values[t]
+        next_adv = delta + gamma * lam * nd * next_adv
+        adv_ref[t] = next_adv
+        next_val = values[t]
+
+    adv, tgt = gae(jnp.array(rewards), jnp.array(values), jnp.array(dones),
+                   jnp.array(last_v), gamma, lam,
+                   bootstrap_values=jnp.array(boot))
+    np.testing.assert_allclose(np.asarray(adv), adv_ref, rtol=1e-5, atol=1e-5)
+
+    # With no boundaries the bootstrap values must be inert.
+    no_d = jnp.zeros((T, B), bool)
+    a1, _ = gae(jnp.array(rewards), jnp.array(values), no_d,
+                jnp.array(last_v), gamma, lam)
+    a2, _ = gae(jnp.array(rewards), jnp.array(values), no_d,
+                jnp.array(last_v), gamma, lam,
+                bootstrap_values=jnp.array(boot))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_train_step_bootstrap_truncated_smoke():
+    """End-to-end update with truncation bootstrapping on: runs, finite,
+    and actually differs from the terminal-cut update (unroll spans a
+    truncation at max_steps=16 with T=4 after 4 updates)."""
+    import jax
+
+    t_on = make_tiny_trainer(bootstrap_truncated=True)
+    t_off = make_tiny_trainer()
+    rs_on = t_on.init(jax.random.PRNGKey(0))
+    rs_off = t_off.init(jax.random.PRNGKey(0))
+    for _ in range(4):  # 4 updates × T=4 = 16 steps → crosses a boundary
+        rs_on, m_on = t_on.train_step(rs_on)
+        rs_off, m_off = t_off.train_step(rs_off)
+    for k, v in m_on.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    diff = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(rs_on.params),
+                        jax.tree.leaves(rs_off.params))
+    )
+    assert diff, "bootstrapping had no effect across a truncation boundary"
+
+
+def test_engine_final_obs_is_pre_reset():
+    """TimeStep.final_obs equals obs except on auto-reset ticks, where it
+    is the terminal (pre-reset) observation of the OLD episode."""
+    import jax
+
+    from warehouse_tpu.config import small_config
+    from warehouse_tpu.env import engine
+
+    cfg = small_config(max_steps=5, auto_reset=True)
+    cfg_plain = small_config(max_steps=5, auto_reset=False)
+    state, obs = engine.reset(cfg, jax.random.PRNGKey(3))
+    state_p, _ = engine.reset(cfg_plain, jax.random.PRNGKey(3))
+    for t in range(5):
+        actions = np.full(cfg.num_agents, (t % 4) + 1, np.int32)
+        state, ts = engine.step(cfg, state, actions)
+        state_p, ts_p = engine.step(cfg_plain, state_p, actions)
+        if bool(ts.truncated):
+            # final_obs matches the non-auto-reset twin's terminal obs...
+            np.testing.assert_array_equal(
+                np.asarray(ts.final_obs), np.asarray(ts_p.obs))
+            # ...and obs is the fresh episode's (t reset to 0).
+            assert int(state.t) == 0
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(ts.final_obs), np.asarray(ts.obs))
+
+
 @pytest.mark.slow
 def test_ppo_learns_tiny_env():
     """PPO improves delivery rate on a trivial 3x3/1-agent env

@@ -68,10 +68,16 @@ class EnvConfig:
         return 2 * self.obs_radius + 1
 
     @property
+    def num_obs_channels(self) -> int:
+        """Grid channels per obs cell (docs/SEMANTICS.md §10): global view
+        carries an extra traversability channel (ch4, walls)."""
+        return 5 if self.global_obs else 4
+
+    @property
     def obs_dim(self) -> int:
         """Flat per-agent observation length (docs/SEMANTICS.md §10)."""
         if self.global_obs:
-            return 4 * self.height * self.width + 6
+            return 5 * self.height * self.width + 6
         return 4 * self.window_size * self.window_size + 6
 
     @property
@@ -174,6 +180,11 @@ class TrainConfig:
     # Linear entropy-coefficient anneal: entropy_coef → entropy_coef_final
     # over num_updates. Negative = disabled (constant entropy_coef).
     entropy_coef_final: float = -1.0
+    # Bootstrap value targets through time-limit truncations (RLlib's
+    # behavior): at a truncation boundary GAE/V-trace use V of the TRUE
+    # final state (the engine's TimeStep.final_obs) as the next-state
+    # value instead of 0. Off = treat truncation as termination.
+    bootstrap_truncated: bool = False
     # Potential-based reward shaping coefficient (Ng et al. 1999;
     # ops/pathing.py potential()). 0 = off. Policy-invariant; densifies
     # the sparse delivery signal on walled layouts (docs/RESULTS.md).

@@ -156,6 +156,8 @@ def step(
     )
 
     # 9. Auto-reset (§4.9): replace done envs with a fresh episode.
+    final_obs = obs  # pre-reset obs: the V(s_T) input for truncation
+    #                  bootstrapping (aliases obs when no reset fires)
     if cfg.auto_reset:
         reset_state, reset_obs = reset(cfg, draws.reset_key)
         done = truncated
@@ -170,6 +172,7 @@ def step(
 
     ts = TimeStep(
         obs=obs,
+        final_obs=final_obs,
         reward=reward,
         terminated=jnp.bool_(False),
         truncated=truncated,

@@ -28,7 +28,11 @@ class EnvState:
 
 @struct.dataclass
 class TimeStep:
-    obs: jax.Array         # float32[A, obs_dim]
+    obs: jax.Array         # float32[A, obs_dim] (post-auto-reset when it fires)
+    final_obs: jax.Array   # float32[A, obs_dim] — pre-auto-reset obs (== obs
+    #                        unless this step truncated with auto_reset on);
+    #                        the V(s_T) input for truncation bootstrapping
+    #                        (ops/gae.py / ops/vtrace.py bootstrap_values)
     reward: jax.Array      # float32[A]
     terminated: jax.Array  # bool (scalar; always False, SEMANTICS §4.7)
     truncated: jax.Array   # bool (scalar)

@@ -50,15 +50,16 @@ class ActorCriticCNN(nn.Module):
 
     num_actions: int
     window_size: int          # S: spatial side of the window/global grid
+    in_channels: int = 4      # 4 ego / 5 global (docs/SEMANTICS.md §10)
     channels: Sequence[int] = (16, 32)
     hidden: int = 128
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, obs: jax.Array):
-        S = self.window_size
-        grid_len = S * S * 4
-        grid = obs[..., :grid_len].reshape(*obs.shape[:-1], S, S, 4)
+        S, C = self.window_size, self.in_channels
+        grid_len = S * S * C
+        grid = obs[..., :grid_len].reshape(*obs.shape[:-1], S, S, C)
         feats = obs[..., grid_len:]
         x = grid.astype(self.dtype)
         for ch in self.channels:
@@ -96,6 +97,7 @@ class ActorCriticAttn(nn.Module):
 
     num_actions: int
     window_size: int              # S: spatial side of the window/grid
+    in_channels: int = 4          # 4 ego / 5 global (docs/SEMANTICS.md §10)
     d_model: int = 64
     num_heads: int = 4
     num_blocks: int = 2
@@ -103,9 +105,9 @@ class ActorCriticAttn(nn.Module):
 
     @nn.compact
     def __call__(self, obs: jax.Array):
-        S = self.window_size
-        grid_len = S * S * 4
-        cells = obs[..., :grid_len].reshape(*obs.shape[:-1], S * S, 4)
+        S, C = self.window_size, self.in_channels
+        grid_len = S * S * C
+        cells = obs[..., :grid_len].reshape(*obs.shape[:-1], S * S, C)
         feats = obs[..., grid_len:]
 
         x = nn.Dense(self.d_model, dtype=self.dtype)(cells.astype(self.dtype))
@@ -210,6 +212,7 @@ def make_model(cfg: EnvConfig, arch: str = "mlp", hidden_dim: int = 128,
             raise ValueError("cnn+global_obs requires a square grid")
         return ActorCriticCNN(
             num_actions=cfg.num_actions, window_size=side,
+            in_channels=cfg.num_obs_channels,
             hidden=hidden_dim, dtype=dtype,
         )
     if arch == "attn":
@@ -218,6 +221,7 @@ def make_model(cfg: EnvConfig, arch: str = "mlp", hidden_dim: int = 128,
             raise ValueError("attn+global_obs requires a square grid")
         return ActorCriticAttn(
             num_actions=cfg.num_actions, window_size=side,
+            in_channels=cfg.num_obs_channels,
             d_model=hidden_dim // 2, num_blocks=num_layers, dtype=dtype,
         )
     if arch in ("gru", "lstm"):

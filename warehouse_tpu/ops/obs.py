@@ -104,7 +104,12 @@ def observe(
             & (cols[None, :] == tgt[:, None, 1])
             & has_task[:, None]
         )
-        # Spec layout: [H, W, 4] ravel, channel-last.
+        # ch4: traversable (not a wall) — ego ch3 semantics over the full
+        # grid (docs/SEMANTICS.md §1a/§10). Static per config.
+        free = jnp.ones(H * W, bool)
+        for w in cfg.walls:
+            free = free & (jnp.arange(H * W) != w)
+        # Spec layout: [H, W, 5] ravel, channel-last.
         grid = jnp.stack(
             [
                 self_oh.astype(jnp.float32),
@@ -113,9 +118,12 @@ def observe(
                     pend_cells[None, :], self_oh.shape
                 ).astype(jnp.float32),
                 tgt_oh.astype(jnp.float32),
+                jnp.broadcast_to(
+                    free[None, :], self_oh.shape
+                ).astype(jnp.float32),
             ],
             axis=-1,
-        )  # [A, H*W, 4]
+        )  # [A, H*W, 5]
         return jnp.concatenate(
             [grid.reshape(agent_pos.shape[0], -1), feats], axis=-1
         )

@@ -30,6 +30,7 @@ def vtrace(
     gamma: float,
     rho_clip: float = 1.0,         # ρ̄: IS clip for the TD targets & pg
     c_clip: float = 1.0,           # c̄: IS clip for the trace cutting
+    bootstrap_values: jax.Array | None = None,  # float32[T, ...]
 ):
     """Returns ``(vs, pg_advantages)``, both ``float32[T, ...]``.
 
@@ -40,8 +41,15 @@ def vtrace(
     When behavior == target (on-policy) and ρ̄ = c̄ = 1 this reduces to
     the λ=1 GAE target (Monte-Carlo with bootstrap), which the unit test
     checks against ops/gae.py.
+
+    ``bootstrap_values`` (same contract as ops/gae.py): per-step V of the
+    TRUE successor state, used as the next-state value at ``done``
+    boundaries instead of 0 — RLlib-style time-limit bootstrapping. The
+    trace product (c_i) is still cut at boundaries.
     """
     not_done = 1.0 - dones.astype(jnp.float32)
+    if bootstrap_values is None:
+        bootstrap_values = jnp.zeros_like(values)
     rho = jnp.exp(target_log_prob - behavior_log_prob)
     clipped_rho = jnp.minimum(rho, rho_clip)
     cs = jnp.minimum(rho, c_clip)
@@ -49,8 +57,9 @@ def vtrace(
     values_next = jnp.concatenate(
         [values[1:], last_value[None]], axis=0
     )
+    values_next = not_done * values_next + (1.0 - not_done) * bootstrap_values
     deltas = clipped_rho * (
-        rewards + gamma * values_next * not_done - values
+        rewards + gamma * values_next - values
     )
 
     def body(acc, xs):
@@ -67,7 +76,10 @@ def vtrace(
     vs = values + vs_minus_v
 
     vs_next = jnp.concatenate([vs[1:], last_value[None]], axis=0)
+    # At a boundary vs_{t+1} of the next row is a fresh episode; the true
+    # successor has no future corrections, so its vs IS its value.
+    vs_next = not_done * vs_next + (1.0 - not_done) * bootstrap_values
     pg_advantages = clipped_rho * (
-        rewards + gamma * vs_next * not_done - values
+        rewards + gamma * vs_next - values
     )
     return jax.lax.stop_gradient(vs), jax.lax.stop_gradient(pg_advantages)

@@ -298,8 +298,11 @@ class OracleEnv:
         for r in range(cfg.queue_capacity):
             if s.req_status[r] == PENDING:
                 pending[tuple(s.req_pickup[r])] = 1.0
+        free = np.ones((cfg.height, cfg.width), dtype=np.float32)
+        for w in cfg.walls:
+            free[cell_to_rc(w, cfg.width)] = 0.0
         for i in range(A):
-            g = np.zeros((cfg.height, cfg.width, 4), dtype=np.float32)
+            g = np.zeros((cfg.height, cfg.width, 5), dtype=np.float32)
             g[tuple(s.agent_pos[i]) + (0,)] = 1.0
             for j in range(A):
                 if j != i:
@@ -308,6 +311,7 @@ class OracleEnv:
             has_task, tgt = self._target(s, i)
             if has_task:
                 g[tuple(tgt) + (3,)] = 1.0
+            g[:, :, 4] = free  # traversability (§1a): 0 on wall cells
             out[i] = np.concatenate([g.ravel(), self._features(s, i)])
         return out
 

@@ -42,6 +42,10 @@ def main(argv=None) -> None:
                         "(BFS distance-to-target potential; 0 = off)")
     p.add_argument("--mask-actions", action="store_true",
                    help="mask wall/out-of-grid moves at the policy logits")
+    p.add_argument("--bootstrap-truncated", action="store_true",
+                   help="bootstrap value targets through time-limit "
+                        "truncations (RLlib behavior) instead of treating "
+                        "them as terminals")
     p.add_argument("--kl-coeff", type=float, default=0.0,
                    help="initial adaptive-KL penalty coefficient (0 = off)")
     p.add_argument("--kl-target", type=float, default=0.01)
@@ -106,6 +110,7 @@ def main(argv=None) -> None:
         entropy_coef_final=args.entropy_coef_final,
         shaping_coef=args.shaping_coef,
         mask_actions=args.mask_actions,
+        bootstrap_truncated=args.bootstrap_truncated,
         kl_coeff=args.kl_coeff,
         kl_target=args.kl_target,
         hidden_dim=args.hidden_dim,

@@ -55,6 +55,11 @@ class ImpalaTransition(NamedTuple):
     reward: jax.Array
     done: jax.Array
     mask: jax.Array         # bool[..., 5] valid-action mask (all-True if off)
+    boot_value: jax.Array   # V(final_obs) under the BEHAVIOR params —
+    #                         truncation bootstrap (0 when off). Evaluated
+    #                         at act time: V-trace already tolerates
+    #                         behavior/target lag, and storing the scalar
+    #                         beats storing final_obs [T,B,A,obs_dim].
 
 
 def make_train_impala(
@@ -147,8 +152,12 @@ def make_train_impala(
             done = jnp.broadcast_to(
                 ts.truncated[:, None], ts.reward.shape
             )  # [B, A]
+            if tcfg.bootstrap_truncated:
+                _, boot_value = model.apply(params, ts.final_obs)
+            else:
+                boot_value = jnp.zeros_like(ts.reward)
             tr = ImpalaTransition(obs, action, log_prob, ts.reward,
-                                  done, mask)
+                                  done, mask, boot_value)
             return (env_state, ts.obs, key), (tr, ts.delivered,
                                               ts.reward.mean())
 
@@ -178,6 +187,9 @@ def make_train_impala(
                 mb.behavior_log_prob, lp, mb.reward, value, mb.done,
                 last_value, tcfg.gamma,
                 rho_clip=tcfg.rho_clip, c_clip=tcfg.c_clip,
+                bootstrap_values=(
+                    mb.boot_value if tcfg.bootstrap_truncated else None
+                ),
             )
             pg_loss = -(lp * pg_adv).mean()
             v_loss = 0.5 * ((value - vs) ** 2).mean()

@@ -20,8 +20,11 @@ removes every process/checkpoint boundary:
   their hyperparameters (×1.2 / ÷1.2, or resample with prob 0.25 —
   Tune's default rule).
 
-Supports the shared-policy feed-forward PPO path (the flagship config);
-masking/shaping/policy-groups knobs stay with train/ppo.py.
+Runs the shared-policy feed-forward PPO path (the flagship config) with
+the full TrainConfig knob set — action masking, reward shaping,
+adaptive KL (per-member state), truncation bootstrapping — via the
+shared update core (ops/ppo_update.py); policy-groups stay with
+train/ppo.py.
 """
 
 from __future__ import annotations
@@ -39,6 +42,16 @@ from ..config import EnvConfig, TrainConfig
 from ..env import engine
 from ..models import make_model
 from ..ops.gae import gae
+from ..ops.move import valid_action_mask
+from ..ops.pathing import potential
+from ..ops.ppo_update import (
+    NEG_INF,
+    adaptive_kl_coeff,
+    flat_minibatches,
+    minibatch_epochs,
+    ppo_losses,
+    sample_action,
+)
 
 
 @struct.dataclass
@@ -50,6 +63,7 @@ class MemberState:
     obs: jax.Array
     key: jax.Array          # uint32[2]
     entropy_coef: jax.Array  # float32 — runtime-mutable (PBT explore)
+    kl_coeff: jax.Array      # float32 — adaptive KL penalty state
 
 
 class PBTResult(NamedTuple):
@@ -113,7 +127,7 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
             lambda k: engine.reset(env_cfg, k)
         )(env_keys)
         return MemberState(params, opt_state, env_state, obs, skey,
-                           jnp.float32(ent))
+                           jnp.float32(ent), jnp.float32(tcfg.kl_coeff))
 
     def set_lr(opt_state, lr):
         return _set_lr_impl(opt_state, lr)
@@ -134,88 +148,86 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
             env_state, obs, key = carry
             key, akey = jax.random.split(key)
             logits, value = model.apply(params, obs)
-            action = jax.random.categorical(akey, logits)
-            log_prob = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[..., None], axis=-1
-            ).squeeze(-1)
+            if tcfg.mask_actions:
+                mask = jax.vmap(
+                    lambda p: valid_action_mask(env_cfg, p)
+                )(env_state.agent_pos)
+                logits = jnp.where(mask, logits, NEG_INF)
+            else:
+                mask = jnp.ones(logits.shape, bool)
+            action, log_prob = sample_action(akey, logits)
+            if tcfg.shaping_coef > 0.0:
+                phi = jax.vmap(lambda s: potential(env_cfg, s))(env_state)
             env_state, ts = jax.vmap(
                 lambda s, a: engine.step(env_cfg, s, a)
             )(env_state, action.astype(jnp.int32))
             done = jnp.broadcast_to(ts.truncated[:, None], ts.reward.shape)
+            reward = ts.reward
+            if tcfg.shaping_coef > 0.0:
+                phi_next = jax.vmap(
+                    lambda s: potential(env_cfg, s)
+                )(env_state)
+                reward = reward + tcfg.shaping_coef * (
+                    tcfg.gamma * phi_next * (1.0 - done) - phi
+                )
+            if tcfg.bootstrap_truncated:
+                _, boot_value = model.apply(params, ts.final_obs)
+            else:
+                boot_value = jnp.zeros_like(value)
             return (env_state, ts.obs, key), (
-                (obs, action, log_prob, value, ts.reward, done),
-                ts.delivered)
+                (obs, action, log_prob, value, reward, done, mask,
+                 boot_value),
+                ts.delivered, ts.reward.mean())
 
-        (env_state, last_obs, key), (traj, delivered) = jax.lax.scan(
-            env_step, (member.env_state, member.obs, key), None,
-            length=tcfg.unroll_length)
-        obs_t, action_t, lp_t, val_t, rew_t, done_t = traj
+        (env_state, last_obs, key), (traj, delivered, raw_rew) = (
+            jax.lax.scan(
+                env_step, (member.env_state, member.obs, key), None,
+                length=tcfg.unroll_length))
+        (obs_t, action_t, lp_t, val_t, rew_t, done_t, mask_t,
+         boot_t) = traj
         _, last_value = model.apply(params, last_obs)
-        advantages, targets = gae(rew_t, val_t, done_t, last_value,
-                                  tcfg.gamma, tcfg.gae_lambda)
+        advantages, targets = gae(
+            rew_t, val_t, done_t, last_value,
+            tcfg.gamma, tcfg.gae_lambda,
+            bootstrap_values=boot_t if tcfg.bootstrap_truncated else None)
 
         def flat(x):
             return x.reshape(batch, *x.shape[3:])
 
         data = (flat(obs_t), flat(action_t), flat(lp_t), flat(val_t),
-                flat(advantages), flat(targets))
+                flat(advantages), flat(targets), flat(mask_t))
 
-        def loss_fn(params, mb, ent_coef):
-            obs, action, old_lp, old_v, adv, tgt = mb
+        def loss_fn(params, mb):
+            obs, action, old_lp, old_v, adv, tgt, mask = mb
             logits, value = model.apply(params, obs)
-            lp = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[..., None], axis=-1
-            ).squeeze(-1)
-            ratio = jnp.exp(lp - old_lp)
-            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
-            pg1 = ratio * adv_n
-            pg2 = jnp.clip(ratio, 1 - tcfg.clip_eps,
-                           1 + tcfg.clip_eps) * adv_n
-            pg_loss = -jnp.minimum(pg1, pg2).mean()
-            v_clip = old_v + jnp.clip(value - old_v, -tcfg.clip_eps,
-                                      tcfg.clip_eps)
-            v_loss = 0.5 * jnp.maximum((value - tgt) ** 2,
-                                       (v_clip - tgt) ** 2).mean()
-            probs = jax.nn.softmax(logits)
-            entropy = -(probs * jnp.log(probs + 1e-10)).sum(-1).mean()
-            return (pg_loss + tcfg.value_coef * v_loss
-                    - ent_coef * entropy), entropy
+            if tcfg.mask_actions:
+                logits = jnp.where(mask, logits, NEG_INF)
+            return ppo_losses(
+                logits, value, action, old_lp, old_v, adv, tgt,
+                clip_eps=tcfg.clip_eps, value_coef=tcfg.value_coef,
+                ent_coef=member.entropy_coef, kl_coeff=member.kl_coeff,
+            )
 
-        def epoch(carry, _):
-            params, opt_state, key = carry
-            key, pkey = jax.random.split(key)
-            perm = jax.random.permutation(pkey, batch)
-            mb_size = batch // tcfg.num_minibatches
-            mbs = jax.tree.map(
-                lambda x: x[perm].reshape(tcfg.num_minibatches, mb_size,
-                                          *x.shape[1:]),
-                data)
-
-            def mb_update(carry, mb):
-                params, opt_state = carry
-                (loss, ent), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, mb, member.entropy_coef)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, ent)
-
-            (params, opt_state), aux = jax.lax.scan(
-                mb_update, (params, opt_state), mbs)
-            return (params, opt_state, key), aux
-
-        (params, opt_state, key), (losses, ents) = jax.lax.scan(
-            epoch, (params, member.opt_state, key), None,
-            length=tcfg.ppo_epochs)
+        params, opt_state, key, losses = minibatch_epochs(
+            params, member.opt_state, key,
+            loss_fn=loss_fn,
+            make_minibatches=lambda k: flat_minibatches(
+                k, data, tcfg.num_minibatches),
+            num_epochs=tcfg.ppo_epochs,
+            tx=tx,
+        )
+        mean_kl = losses[4].mean()
+        kl_coeff = adaptive_kl_coeff(tcfg, member.kl_coeff, mean_kl)
         metrics = {
-            "loss": losses.mean(),
-            "entropy": ents.mean(),
+            "loss": losses[0].mean(),
+            "entropy": losses[3].mean(),
+            "kl": mean_kl,
             "deliveries_per_env_step": delivered.sum(
                 dtype=jnp.float32) / (tcfg.unroll_length * b_local),
-            "reward_per_step": rew_t.mean(),
+            "reward_per_step": raw_rew.mean(),
         }
         return MemberState(params, opt_state, env_state, last_obs, key,
-                           member.entropy_coef), metrics
+                           member.entropy_coef, kl_coeff), metrics
 
     def init_members(key: jax.Array, lrs: np.ndarray,
                      ents: np.ndarray) -> MemberState:

@@ -30,6 +30,15 @@ from ..models import make_model
 from ..ops.gae import gae
 from ..ops.move import valid_action_mask
 from ..ops.pathing import potential
+from ..ops.ppo_update import (
+    NEG_INF,
+    adaptive_kl_coeff,
+    entropy_coef_at,
+    flat_minibatches,
+    minibatch_epochs,
+    ppo_losses,
+    sample_action,
+)
 from ..parallel.mesh import DATA_AXIS
 
 
@@ -52,6 +61,7 @@ class Transition(NamedTuple):
     reward: jax.Array      # shaped reward when shaping_coef > 0 (GAE input)
     done: jax.Array
     mask: jax.Array        # bool[..., 5] valid-action mask (all-True if off)
+    boot_value: jax.Array  # V(final_obs): truncation bootstrap (0 if off)
 
 
 def make_train(
@@ -163,13 +173,10 @@ def make_train(
                 mask = jax.vmap(
                     lambda p: valid_action_mask(env_cfg, p)
                 )(env_state.agent_pos)                        # [B, A, 5]
-                logits = jnp.where(mask, logits, -1e9)
+                logits = jnp.where(mask, logits, NEG_INF)
             else:
                 mask = jnp.ones(logits.shape, bool)
-            action = jax.random.categorical(akey, logits)  # [B, A]
-            log_prob = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[..., None], axis=-1
-            ).squeeze(-1)
+            action, log_prob = sample_action(akey, logits)  # [B, A]
             if tcfg.shaping_coef > 0.0:
                 phi = jax.vmap(lambda s: potential(env_cfg, s))(env_state)
             env_state, ts = jax.vmap(
@@ -189,7 +196,14 @@ def make_train(
                 reward = reward + tcfg.shaping_coef * (
                     tcfg.gamma * phi_next * (1.0 - done) - phi
                 )
-            tr = Transition(obs, action, log_prob, value, reward, done, mask)
+            if tcfg.bootstrap_truncated:
+                # V of the TRUE successor (pre-auto-reset) state, used by
+                # GAE as the next-state value at truncation boundaries.
+                _, boot_value = apply_model(params, ts.final_obs, gids_ba)
+            else:
+                boot_value = jnp.zeros_like(value)
+            tr = Transition(obs, action, log_prob, value, reward, done,
+                            mask, boot_value)
             return (env_state, ts.obs, key), (tr, ts.delivered,
                                               ts.reward.mean())
 
@@ -202,6 +216,9 @@ def make_train(
         advantages, targets = gae(
             traj.reward, traj.value, traj.done, last_value,
             tcfg.gamma, tcfg.gae_lambda,
+            bootstrap_values=(
+                traj.boot_value if tcfg.bootstrap_truncated else None
+            ),
         )
 
         # Flatten [T, B, A] → [N] for minibatching.
@@ -217,97 +234,34 @@ def make_train(
             flat(gids_tba), flat(traj.mask),
         )
 
-        # Linear entropy-coefficient anneal (entropy_coef_final >= 0).
-        if tcfg.entropy_coef_final >= 0.0:
-            frac = rs.update_idx.astype(jnp.float32) / max(
-                tcfg.num_updates, 1
-            )
-            ent_coef = tcfg.entropy_coef + frac * (
-                tcfg.entropy_coef_final - tcfg.entropy_coef
-            )
-        else:
-            ent_coef = jnp.float32(tcfg.entropy_coef)
+        ent_coef = entropy_coef_at(tcfg, rs.update_idx)
 
-        def loss_fn(params, mb, kl_coeff):
+        def loss_fn(params, mb):
             obs, action, old_lp, old_v, adv, tgt, gids, mask = mb
             logits, value = apply_model(params, obs, gids)
             if tcfg.mask_actions:
-                logits = jnp.where(mask, logits, -1e9)
-            lp = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[..., None], axis=-1
-            ).squeeze(-1)
-            ratio = jnp.exp(lp - old_lp)
-            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
-            pg1 = ratio * adv_n
-            pg2 = jnp.clip(ratio, 1 - tcfg.clip_eps, 1 + tcfg.clip_eps) * adv_n
-            pg_loss = -jnp.minimum(pg1, pg2).mean()
-            v_clip = old_v + jnp.clip(
-                value - old_v, -tcfg.clip_eps, tcfg.clip_eps
-            )
-            v_loss = 0.5 * jnp.maximum(
-                (value - tgt) ** 2, (v_clip - tgt) ** 2
-            ).mean()
-            probs = jax.nn.softmax(logits)
-            entropy = -(probs * jnp.log(probs + 1e-10)).sum(-1).mean()
-            # Approx KL(old || new), RLlib-style penalty term (zero-cost
-            # when kl_coeff == 0).
-            kl = (old_lp - lp).mean()
-            total = (
-                pg_loss + tcfg.value_coef * v_loss
-                - ent_coef * entropy
-                + kl_coeff * kl
-            )
-            return total, (pg_loss, v_loss, entropy, kl)
-
-        def epoch(carry, _):
-            params, opt_state, key = carry
-            key, pkey = jax.random.split(key)
-            perm = jax.random.permutation(pkey, batch_per_shard)
-            mb_size = batch_per_shard // tcfg.num_minibatches
-            shuffled = jax.tree.map(lambda x: x[perm], batch)
-            minibatches = jax.tree.map(
-                lambda x: x.reshape(
-                    tcfg.num_minibatches, mb_size, *x.shape[1:]
-                ),
-                shuffled,
+                logits = jnp.where(mask, logits, NEG_INF)
+            return ppo_losses(
+                logits, value, action, old_lp, old_v, adv, tgt,
+                clip_eps=tcfg.clip_eps, value_coef=tcfg.value_coef,
+                ent_coef=ent_coef, kl_coeff=rs.kl_coeff,
             )
 
-            def mb_update(carry, mb):
-                params, opt_state = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, mb, rs.kl_coeff)
-                if mesh is not None:
-                    grads = jax.lax.pmean(grads, DATA_AXIS)
-                    loss = jax.lax.pmean(loss, DATA_AXIS)
-                    aux = jax.lax.pmean(aux, DATA_AXIS)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, *aux)
-
-            (params, opt_state), losses = jax.lax.scan(
-                mb_update, (params, opt_state), minibatches
-            )
-            return (params, opt_state, key), losses
-
-        (params, opt_state, key), losses = jax.lax.scan(
-            epoch, (params, rs.opt_state, key), None, length=tcfg.ppo_epochs
+        params, opt_state, key, losses = minibatch_epochs(
+            params, rs.opt_state, key,
+            loss_fn=loss_fn,
+            make_minibatches=lambda k: flat_minibatches(
+                k, batch, tcfg.num_minibatches
+            ),
+            num_epochs=tcfg.ppo_epochs,
+            tx=tx,
+            pmean_axis=DATA_AXIS if mesh is not None else None,
         )
 
-        # Adaptive KL coefficient (RLlib rule: x1.5 above 2x target,
-        # x0.5 below 0.5x target), active only when enabled.
         mean_kl = losses[4].mean()
         if mesh is not None:
             mean_kl = jax.lax.pmean(mean_kl, DATA_AXIS)
-        kl_coeff = rs.kl_coeff
-        if tcfg.kl_coeff > 0.0 and tcfg.adaptive_kl:
-            kl_coeff = jnp.where(
-                mean_kl > 2.0 * tcfg.kl_target, kl_coeff * 1.5,
-                jnp.where(
-                    mean_kl < 0.5 * tcfg.kl_target, kl_coeff * 0.5,
-                    kl_coeff,
-                ),
-            )
+        kl_coeff = adaptive_kl_coeff(tcfg, rs.kl_coeff, mean_kl)
 
         mean_reward = raw_rew.mean()  # raw env reward (pre-shaping)
         deliveries = delivered.sum(dtype=jnp.float32) / (

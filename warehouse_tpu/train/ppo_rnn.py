@@ -30,6 +30,14 @@ from ..models import make_model
 from ..ops.gae import gae
 from ..ops.move import valid_action_mask
 from ..ops.pathing import potential
+from ..ops.ppo_update import (
+    NEG_INF,
+    adaptive_kl_coeff,
+    entropy_coef_at,
+    minibatch_epochs,
+    ppo_losses,
+    sample_action,
+)
 from ..parallel.mesh import DATA_AXIS
 from .ppo import PPOTrainer, Transition
 
@@ -128,10 +136,7 @@ def make_train_rnn(
                 mask, logits = _apply_mask(env_state, logits)
             else:
                 mask = jnp.ones(logits.shape, bool)
-            action = jax.random.categorical(akey, logits)
-            log_prob = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[..., None], axis=-1
-            ).squeeze(-1)
+            action, log_prob = sample_action(akey, logits)
             if tcfg.shaping_coef > 0.0:
                 phi = jax.vmap(lambda s: potential(env_cfg, s))(env_state)
             env_state, ts = jax.vmap(
@@ -146,12 +151,19 @@ def make_train_rnn(
                 reward = reward + tcfg.shaping_coef * (
                     tcfg.gamma * phi_next * (1.0 - done) - phi
                 )
+            if tcfg.bootstrap_truncated:
+                # V of the true successor state, with the PRE-reset carry
+                # (the recurrent state that actually saw the episode).
+                _, boot_value, _ = model.apply(params, ts.final_obs, h_new)
+            else:
+                boot_value = jnp.zeros_like(value)
             # Episode boundary: next step starts a fresh episode (the
             # engine auto-reset), so the recurrent carry resets with it.
             h_new = jax.tree.map(
                 lambda x: jnp.where(done[..., None], 0.0, x), h_new
             )
-            tr = Transition(obs, action, log_prob, value, reward, done, mask)
+            tr = Transition(obs, action, log_prob, value, reward, done,
+                            mask, boot_value)
             return (env_state, ts.obs, h_new, key), (tr, ts.delivered,
                                                      ts.reward.mean())
 
@@ -166,6 +178,9 @@ def make_train_rnn(
         advantages, targets = gae(
             traj.reward, traj.value, traj.done, last_value,
             tcfg.gamma, tcfg.gae_lambda,
+            bootstrap_values=(
+                traj.boot_value if tcfg.bootstrap_truncated else None
+            ),
         )
 
         # Sequence batch: [T, B_local, A, ...]; h0 is per-sequence
@@ -173,24 +188,16 @@ def make_train_rnn(
         seq_batch = (traj.obs, traj.action, traj.log_prob, traj.value,
                      advantages, targets, traj.mask, traj.done)
 
-        if tcfg.entropy_coef_final >= 0.0:
-            frac = rs.update_idx.astype(jnp.float32) / max(
-                tcfg.num_updates, 1
-            )
-            ent_coef = tcfg.entropy_coef + frac * (
-                tcfg.entropy_coef_final - tcfg.entropy_coef
-            )
-        else:
-            ent_coef = jnp.float32(tcfg.entropy_coef)
+        ent_coef = entropy_coef_at(tcfg, rs.update_idx)
 
-        def loss_fn(params, mb, kl_coeff):
+        def loss_fn(params, mb):
             (obs, action, old_lp, old_v, adv, tgt, mask, done), h_init = mb
 
             def cell_step(h, xs):
                 obs_t, mask_t, done_t = xs
                 logits, value, h_new = model.apply(params, obs_t, h)
                 if tcfg.mask_actions:
-                    logits = jnp.where(mask_t, logits, -1e9)
+                    logits = jnp.where(mask_t, logits, NEG_INF)
                 h_new = jax.tree.map(
                     lambda x: jnp.where(done_t[..., None], 0.0, x), h_new
                 )
@@ -199,33 +206,15 @@ def make_train_rnn(
             _, (logits, value) = jax.lax.scan(
                 cell_step, h_init, (obs, mask, done)
             )
-            lp = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[..., None], axis=-1
-            ).squeeze(-1)
-            ratio = jnp.exp(lp - old_lp)
-            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
-            pg1 = ratio * adv_n
-            pg2 = jnp.clip(ratio, 1 - tcfg.clip_eps, 1 + tcfg.clip_eps) * adv_n
-            pg_loss = -jnp.minimum(pg1, pg2).mean()
-            v_clip = old_v + jnp.clip(
-                value - old_v, -tcfg.clip_eps, tcfg.clip_eps
+            return ppo_losses(
+                logits, value, action, old_lp, old_v, adv, tgt,
+                clip_eps=tcfg.clip_eps, value_coef=tcfg.value_coef,
+                ent_coef=ent_coef, kl_coeff=rs.kl_coeff,
             )
-            v_loss = 0.5 * jnp.maximum(
-                (value - tgt) ** 2, (v_clip - tgt) ** 2
-            ).mean()
-            probs = jax.nn.softmax(logits)
-            entropy = -(probs * jnp.log(probs + 1e-10)).sum(-1).mean()
-            kl = (old_lp - lp).mean()
-            total = (
-                pg_loss + tcfg.value_coef * v_loss
-                - ent_coef * entropy
-                + kl_coeff * kl
-            )
-            return total, (pg_loss, v_loss, entropy, kl)
 
-        def epoch(cr, _):
-            params, opt_state, key = cr
-            key, pkey = jax.random.split(key)
+        def make_minibatches(pkey):
+            """Sequence minibatches: slice the ENV axis so each sequence
+            stays contiguous in time; h0 is minibatched along with it."""
             perm = jax.random.permutation(pkey, b_local)
 
             def split_seq(x):        # [T, B, ...] → [M, T, B/M, ...]
@@ -239,45 +228,24 @@ def make_train_rnn(
                     tcfg.num_minibatches, mb_envs, *x.shape[1:]
                 )
 
-            minibatches = (
+            return (
                 jax.tree.map(split_seq, seq_batch),
                 jax.tree.map(split_h0, h0),
             )
 
-            def mb_update(cr2, mb):
-                params, opt_state = cr2
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, mb, rs.kl_coeff)
-                if mesh is not None:
-                    grads = jax.lax.pmean(grads, DATA_AXIS)
-                    loss = jax.lax.pmean(loss, DATA_AXIS)
-                    aux = jax.lax.pmean(aux, DATA_AXIS)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, *aux)
-
-            (params, opt_state), losses = jax.lax.scan(
-                mb_update, (params, opt_state), minibatches
-            )
-            return (params, opt_state, key), losses
-
-        (params, opt_state, key), losses = jax.lax.scan(
-            epoch, (params, rs.opt_state, key), None, length=tcfg.ppo_epochs
+        params, opt_state, key, losses = minibatch_epochs(
+            params, rs.opt_state, key,
+            loss_fn=loss_fn,
+            make_minibatches=make_minibatches,
+            num_epochs=tcfg.ppo_epochs,
+            tx=tx,
+            pmean_axis=DATA_AXIS if mesh is not None else None,
         )
 
         mean_kl = losses[4].mean()
         if mesh is not None:
             mean_kl = jax.lax.pmean(mean_kl, DATA_AXIS)
-        kl_coeff = rs.kl_coeff
-        if tcfg.kl_coeff > 0.0 and tcfg.adaptive_kl:
-            kl_coeff = jnp.where(
-                mean_kl > 2.0 * tcfg.kl_target, kl_coeff * 1.5,
-                jnp.where(
-                    mean_kl < 0.5 * tcfg.kl_target, kl_coeff * 0.5,
-                    kl_coeff,
-                ),
-            )
+        kl_coeff = adaptive_kl_coeff(tcfg, rs.kl_coeff, mean_kl)
 
         mean_reward = raw_rew.mean()
         deliveries = delivered.sum(dtype=jnp.float32) / (
