@@ -135,6 +135,55 @@ def main() -> None:
 
     timed(shuffle_only, "shuffle_only")
 
+    # E2: int8-packed obs for the shuffle gather (one-hot channels are
+    # exact in int8; feats stay f32) — loss casts back, same numbers.
+    grid_len = env_cfg.obs_dim - 6
+    batch_packed = ((batch[0][:, :grid_len] > 0.5).astype(jnp.int8),
+                    batch[0][:, grid_len:], *batch[1:])
+
+    def loss_fn_packed(params, mb):
+        ch, feats, action, old_lp, old_v, adv, tgt = mb
+        obs = jnp.concatenate([ch.astype(jnp.float32), feats], axis=-1)
+        logits, value = model.apply(params, obs)
+        return ppo_losses(logits, value, action, old_lp, old_v, adv, tgt,
+                          clip_eps=0.2, value_coef=0.5, ent_coef=0.01,
+                          kl_coeff=0.0)
+
+    @jax.jit
+    def learn_packed(params, opt_state):
+        params, opt_state, _, losses = minibatch_epochs(
+            params, opt_state, jax.random.PRNGKey(1),
+            loss_fn=loss_fn_packed,
+            make_minibatches=lambda k: flat_minibatches(
+                k, batch_packed, tcfg.num_minibatches),
+            num_epochs=tcfg.ppo_epochs, tx=tx)
+        return losses[0].sum()
+
+    timed(lambda: learn_packed(params, opt_state), "learn_int8_packed_obs")
+
+    # E3: one real shuffle, then per-epoch jnp.roll regrouping (contiguous
+    # copy instead of gather).
+    @jax.jit
+    def learn_shuffle_once(params, opt_state):
+        perm = jax.random.permutation(jax.random.PRNGKey(1), N)
+        shuffled = jax.tree.map(lambda x: x[perm], batch)
+
+        def mk(k):
+            off = jax.random.randint(k, (), 1, N)
+            return jax.tree.map(
+                lambda x: jnp.roll(x, off, axis=0).reshape(
+                    tcfg.num_minibatches, mb_size, *x.shape[1:]),
+                shuffled)
+
+        params, opt_state, _, losses = minibatch_epochs(
+            params, opt_state, jax.random.PRNGKey(2),
+            loss_fn=loss_fn, make_minibatches=mk,
+            num_epochs=tcfg.ppo_epochs, tx=tx)
+        return losses[0].sum()
+
+    timed(lambda: learn_shuffle_once(params, opt_state),
+          "learn_shuffle_once_roll")
+
     @jax.jit
     def grad_only_1mb(params, opt_state):
         def one(carry, _):

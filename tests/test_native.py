@@ -103,6 +103,40 @@ def test_native_parity_fuzz_large_batch():
     )
 
 
+@pytest.mark.slow
+def test_native_parity_mass_fuzz_mixed_configs():
+    """≥10⁶ cross-checked env-steps over mixed configs incl. walls —
+    backs the warehouse.cc header claim ("millions of CPU env-steps
+    cross-checked"): 3 configs × 2048 envs × 170 steps = 1.04M steps,
+    every one asserted bit-exact against the JAX engine."""
+    from warehouse_tpu import large_config
+    from warehouse_tpu.config import shelves_config
+
+    for i, cfg in enumerate([
+        medium_config(max_steps=10**9, spawn_prob=0.7),
+        shelves_config(max_steps=10**9, spawn_prob=0.5),   # walls
+        large_config(max_steps=10**9, spawn_prob=0.9),     # A=8, R=16
+    ]):
+        run_parity(cfg, B=2048, T=170, policy="random", seed=10 + i)
+
+
+def test_native_rejects_out_of_range_agents():
+    """The C++ stack scratch is sized for A ≤ 64; the binding must raise
+    (not corrupt memory) beyond it."""
+    from warehouse_tpu import EnvConfig
+
+    cfg = EnvConfig(height=12, width=12, num_agents=65,
+                    queue_capacity=4, init_requests=0)
+    nat = get_native(cfg, 2)
+    with pytest.raises(ValueError, match="wh_step_batch"):
+        nat.step(
+            np.zeros((2, 65), np.int32),
+            np.ones(2, np.float32),
+            np.zeros(2, np.int32),
+            np.zeros(2, np.int32),
+        )
+
+
 def test_native_throughput_smoke():
     """The native engine steps a decent batch quickly (smoke, no target)."""
     import time

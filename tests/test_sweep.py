@@ -66,6 +66,24 @@ def test_vmapped_seeds_match_sequential():
         )
 
 
+def test_meshed_seed_axis_matches_unmeshed():
+    """Sharding the seed-replica axis over the `pop` mesh axis must not
+    change any trial's numbers (GSPMD partitioning of independent
+    replicas; 8 fake CPU devices from conftest)."""
+    import jax
+
+    from warehouse_tpu.parallel.mesh import make_pop_mesh
+
+    cfg = small_config(max_steps=8)
+    tcfg = _tiny_tcfg(num_updates=2)
+    mesh = make_pop_mesh(4, jax.devices()[:4])
+    _, m_plain = run_trial(cfg, tcfg, num_seeds=4)
+    _, m_mesh = run_trial(cfg, tcfg, num_seeds=4, seed_mesh=mesh)
+    for k in m_plain:
+        np.testing.assert_allclose(m_plain[k], m_mesh[k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_sweep_reproducible():
     cfg = small_config(max_steps=8)
     grid = {"learning_rate": [1e-3]}

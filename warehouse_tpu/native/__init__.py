@@ -51,7 +51,7 @@ def get_lib() -> ctypes.CDLL:
         cf, cf, cf, cf, cf,
         f32p, u8p, u8p, u8p,
     ]
-    lib.wh_step_batch.restype = None
+    lib.wh_step_batch.restype = ctypes.c_int32  # 0 ok, -1 bad A/B/R/H/W
     lib.wh_greedy_batch.argtypes = [c, c, c, i32p, i32p, u8p, i32p, i32p,
                                     i32p]
     lib.wh_greedy_batch.restype = None
@@ -99,7 +99,7 @@ class NativeBatchedEnv:
         picked = np.zeros((B, A), np.uint8)
         delivered = np.zeros((B, A), np.uint8)
         collided = np.zeros((B, A), np.uint8)
-        self.lib.wh_step_batch(
+        status = self.lib.wh_step_batch(
             B, A, cfg.queue_capacity, cfg.height, cfg.width,
             self.agent_pos, self.agent_req, self.carrying,
             self.req_pickup, self.req_drop, self.req_status,
@@ -113,6 +113,11 @@ class NativeBatchedEnv:
             cfg.delivery_reward, cfg.collision_penalty,
             rewards, picked, delivered, collided,
         )
+        if status != 0:
+            raise ValueError(
+                f"wh_step_batch rejected shapes (A={A} must be in "
+                "[1, 64]; B/R/H/W must be positive)"
+            )
         return (rewards, picked.astype(bool), delivered.astype(bool),
                 collided.astype(bool))
 

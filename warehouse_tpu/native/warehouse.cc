@@ -18,6 +18,10 @@ namespace {
 
 constexpr int EMPTY = 0, PENDING = 1, IN_TRANSIT = 2;
 constexpr int kDeltas[5][2] = {{0, 0}, {-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+// move()/step_one() use stack scratch sized for kMaxAgents; wh_step_batch
+// rejects A outside [1, kMaxAgents] (driver configs top out at A=8,
+// BASELINE.md; the Python binding raises on a nonzero status).
+constexpr int kMaxAgents = 64;
 
 struct Env {
   int A, R, H, W;
@@ -69,7 +73,7 @@ void move(const Env& e, const int32_t* actions, uint8_t* collided,
     }
   }
   // Rule 3: swaps — both revert.
-  bool swap[64] = {false};
+  bool swap[kMaxAgents] = {false};
   for (int i = 0; i < A; ++i) {
     for (int j = i + 1; j < A; ++j) {
       if (moving[i] && moving[j] && prop[2 * i] == e.pos[2 * j] &&
@@ -140,8 +144,8 @@ void step_one(const Env& e, const int32_t* actions, float spawn_u,
               float delivery_reward, float collision_penalty,
               float* rewards, uint8_t* picked, uint8_t* delivered,
               uint8_t* collided) {
-  int32_t prop[128];
-  uint8_t moving[64];
+  int32_t prop[2 * kMaxAgents];
+  uint8_t moving[kMaxAgents];
   move(e, actions, collided, prop, moving);
 
   // §5 pickup.
@@ -200,8 +204,10 @@ void step_one(const Env& e, const int32_t* actions, float spawn_u,
 extern "C" {
 
 // Step B envs in place. All arrays are C-contiguous with the batch as
-// the leading axis; shapes in the comments.
-void wh_step_batch(
+// the leading axis; shapes in the comments. Returns 0 on success,
+// -1 if A is outside [1, kMaxAgents] (stack scratch bound) or B/R/H/W
+// are non-positive — state is untouched on error.
+int32_t wh_step_batch(
     int B, int A, int R, int H, int W,
     int32_t* agent_pos,        // [B,A,2]
     int32_t* agent_req,        // [B,A]
@@ -222,6 +228,9 @@ void wh_step_batch(
     uint8_t* picked,           // [B,A]
     uint8_t* delivered,        // [B,A]
     uint8_t* collided) {       // [B,A]
+  if (A < 1 || A > kMaxAgents || B < 0 || R < 1 || H < 1 || W < 1) {
+    return -1;
+  }
   for (int b = 0; b < B; ++b) {
     Env e{A, R, H, W, walls,
           agent_pos + (size_t)b * A * 2,
@@ -238,6 +247,7 @@ void wh_step_batch(
              delivered + (size_t)b * A, collided + (size_t)b * A);
     t[b] += 1;
   }
+  return 0;
 }
 
 // Greedy nearest-request baseline (docs/SEMANTICS.md §12), batched.

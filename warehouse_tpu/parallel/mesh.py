@@ -16,6 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+POP_AXIS = "pop"  # population axis (PBT members / sweep seed replicas)
 
 
 def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
@@ -27,6 +28,20 @@ def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
         raise ValueError(f"{n} devices not divisible by model={model_parallel}")
     arr = np.array(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_pop_mesh(pop_shards: int, devices=None) -> Mesh:
+    """2-D ``(pop, data)`` mesh: population members (PBT) shard over
+    ``pop``; each member's env batch shards over ``data``. Either axis
+    may be 1, so this subsumes pure population- and pure data-parallel
+    layouts (train/pbt.py)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % pop_shards:
+        raise ValueError(f"{n} devices not divisible by pop={pop_shards}")
+    arr = np.array(devices).reshape(pop_shards, n // pop_shards)
+    return Mesh(arr, (POP_AXIS, DATA_AXIS))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

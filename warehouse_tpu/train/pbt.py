@@ -19,6 +19,12 @@ removes every process/checkpoint boundary:
   single ``jnp.take`` along the population axis; explore then perturbs
   their hyperparameters (×1.2 / ÷1.2, or resample with prob 0.25 —
   Tune's default rule).
+- **Mesh-aware.** With a 2-D ``(pop, data)`` mesh
+  (``parallel.mesh.make_pop_mesh``) the population axis shards over
+  ``pop`` devices and each member's env batch over ``data`` devices
+  (grads ``pmean``'d within a member, exactly train/ppo.py's data
+  parallelism); either axis may be 1. Exploit's cross-member gather is
+  the only cross-``pop`` communication, once per interval.
 
 Runs the shared-policy feed-forward PPO path (the flagship config) with
 the full TrainConfig knob set — action masking, reward shaping,
@@ -61,7 +67,7 @@ class MemberState:
     opt_state: Any
     env_state: Any
     obs: jax.Array
-    key: jax.Array          # uint32[2]
+    key: jax.Array          # uint32[n_data_shards, 2] (one key per shard)
     entropy_coef: jax.Array  # float32 — runtime-mutable (PBT explore)
     kl_coeff: jax.Array      # float32 — adaptive KL penalty state
 
@@ -88,22 +94,31 @@ def _sample_hp(space: dict[str, Any], rng: np.random.Generator) -> float:
 
 
 def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
-                     arch: str = "mlp"):
+                     arch: str = "mlp", mesh=None):
     """Build (init_members, train_chunk) with runtime lr/entropy_coef.
 
     ``init_members(key, lrs, ents) -> MemberState`` (leading [P] axis);
     ``train_chunk(member, n) -> (member, metrics[P, n])`` — n updates
     for every member in one jitted vmap.
+
+    ``mesh``: optional 2-D ``(pop, data)`` mesh from
+    ``parallel.mesh.make_pop_mesh`` — population sharded over ``pop``
+    (P must divide into pop shards), each member's env batch sharded
+    over ``data`` (num_envs must divide into data shards).
     """
+    from ..parallel.mesh import DATA_AXIS, POP_AXIS
+
     env_cfg = env_cfg.replace(auto_reset=True)
     model = make_model(env_cfg, arch=arch, hidden_dim=tcfg.hidden_dim,
                        num_layers=tcfg.num_layers)
-    if tcfg.num_envs % 1:
-        raise ValueError
-    b_local = tcfg.num_envs
+    n_data = 1 if mesh is None else mesh.shape[DATA_AXIS]
+    if tcfg.num_envs % n_data:
+        raise ValueError(
+            f"num_envs={tcfg.num_envs} not divisible by {n_data} data shards")
+    b_local = tcfg.num_envs // n_data
     batch = tcfg.unroll_length * b_local * env_cfg.num_agents
     if batch % tcfg.num_minibatches:
-        raise ValueError("T*B*A must divide into num_minibatches")
+        raise ValueError("T*B_local*A must divide into num_minibatches")
 
     # inject_hyperparams makes learning_rate a leaf of opt_state →
     # vmappable per member and mutable between chunks without retrace.
@@ -120,13 +135,19 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
                                             jnp.float32))
         opt_state = tx.init(params)
         opt_state = set_lr(opt_state, lr)
+        # Per-env keys derived from GLOBAL env index → reshard-invariant
+        # (SURVEY.md §7 hard part 6); per-data-shard sampling keys like
+        # train/ppo.py's RunnerState.key.
         env_keys = jax.vmap(
             lambda i: jax.random.fold_in(ekey, i)
-        )(jnp.arange(b_local))
+        )(jnp.arange(tcfg.num_envs))
         env_state, obs = jax.vmap(
             lambda k: engine.reset(env_cfg, k)
         )(env_keys)
-        return MemberState(params, opt_state, env_state, obs, skey,
+        shard_keys = jax.vmap(
+            lambda i: jax.random.fold_in(skey, i)
+        )(jnp.arange(n_data))
+        return MemberState(params, opt_state, env_state, obs, shard_keys,
                            jnp.float32(ent), jnp.float32(tcfg.kl_coeff))
 
     def set_lr(opt_state, lr):
@@ -142,7 +163,7 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
 
     def _update_one(member: MemberState):
         params = member.params
-        key = member.key
+        key = member.key.reshape(2)  # this data shard's key block
 
         def env_step(carry, _):
             env_state, obs, key = carry
@@ -215,27 +236,67 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
                 k, data, tcfg.num_minibatches),
             num_epochs=tcfg.ppo_epochs,
             tx=tx,
+            pmean_axis=None if mesh is None else DATA_AXIS,
         )
         mean_kl = losses[4].mean()
         kl_coeff = adaptive_kl_coeff(tcfg, member.kl_coeff, mean_kl)
+        deliveries = delivered.sum(
+            dtype=jnp.float32) / (tcfg.unroll_length * b_local)
+        mean_reward = raw_rew.mean()
+        if mesh is not None:
+            deliveries = jax.lax.pmean(deliveries, DATA_AXIS)
+            mean_reward = jax.lax.pmean(mean_reward, DATA_AXIS)
         metrics = {
             "loss": losses[0].mean(),
             "entropy": losses[3].mean(),
             "kl": mean_kl,
-            "deliveries_per_env_step": delivered.sum(
-                dtype=jnp.float32) / (tcfg.unroll_length * b_local),
-            "reward_per_step": raw_rew.mean(),
+            "deliveries_per_env_step": deliveries,
+            "reward_per_step": mean_reward,
         }
-        return MemberState(params, opt_state, env_state, last_obs, key,
+        return MemberState(params, opt_state, env_state, last_obs,
+                           key.reshape(1, 2),
                            member.entropy_coef, kl_coeff), metrics
+
+    # Sharding layout over the (pop, data) mesh: params/opt/hyperparams
+    # shard only over pop; env batch + per-shard keys additionally over
+    # data (the member axis is ALWAYS leading).
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+
+        member_spec = MemberState(
+            params=PS(POP_AXIS),
+            opt_state=PS(POP_AXIS),
+            env_state=PS(POP_AXIS, DATA_AXIS),
+            obs=PS(POP_AXIS, DATA_AXIS),
+            key=PS(POP_AXIS, DATA_AXIS),
+            entropy_coef=PS(POP_AXIS),
+            kl_coeff=PS(POP_AXIS),
+        )
+        metric_spec = {
+            k: PS(POP_AXIS)
+            for k in ("loss", "entropy", "kl",
+                      "deliveries_per_env_step", "reward_per_step")
+        }
+        member_shardings = jax.tree.map(
+            lambda spec: NamedSharding(mesh, spec), member_spec,
+            is_leaf=lambda x: isinstance(x, PS))
 
     def init_members(key: jax.Array, lrs: np.ndarray,
                      ents: np.ndarray) -> MemberState:
         P = len(lrs)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(P))
-        return jax.jit(jax.vmap(init_one))(
-            keys, jnp.asarray(lrs, jnp.float32),
-            jnp.asarray(ents, jnp.float32))
+        fn = jax.vmap(init_one)
+        if mesh is not None:
+            if P % mesh.shape[POP_AXIS]:
+                raise ValueError(
+                    f"population {P} not divisible by "
+                    f"{mesh.shape[POP_AXIS]} pop shards")
+            fn = jax.jit(fn, out_shardings=member_shardings)
+        else:
+            fn = jax.jit(fn)
+        return fn(keys, jnp.asarray(lrs, jnp.float32),
+                  jnp.asarray(ents, jnp.float32))
 
     def _chunk(member: MemberState, n: int):
         def one(m):
@@ -243,7 +304,21 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
                                 length=n)
         return jax.vmap(one)(member)
 
-    train_chunk = jax.jit(_chunk, static_argnums=1)
+    if mesh is None:
+        train_chunk = jax.jit(_chunk, static_argnums=1)
+    else:
+        from functools import partial
+
+        def _chunk_meshed(member: MemberState, n: int):
+            return jax.shard_map(
+                lambda m: _chunk(m, n),
+                mesh=mesh,
+                in_specs=(member_spec,),
+                out_specs=(member_spec, metric_spec),
+                check_vma=False,
+            )(member)
+
+        train_chunk = jax.jit(_chunk_meshed, static_argnums=1)
 
     def get_lr(member: MemberState) -> np.ndarray:
         return np.asarray(
@@ -273,6 +348,7 @@ def run_pbt(
     mode: str = "max",
     seed: int = 0,
     out_path: str | None = None,
+    mesh=None,
 ) -> PBTResult:
     """Run PBT; returns (rows, best, final population).
 
@@ -280,6 +356,7 @@ def run_pbt(
     to a sample spec (list = choice, {"uniform"|"loguniform": [lo,hi]}).
     Score per interval = mean of ``select_metric`` over the interval's
     updates (seed axis not used here — the population IS the spread).
+    ``mesh``: optional (pop, data) mesh — see ``make_pbt_trainer``.
     """
     for k in hyper_space:
         if k not in _MUTABLE:
@@ -303,7 +380,7 @@ def run_pbt(
 
     tcfg = base_tcfg.replace(anneal_lr=False)
     init_members, train_chunk, get_lr, with_hp = make_pbt_trainer(
-        env_cfg, tcfg, arch=arch)
+        env_cfg, tcfg, arch=arch, mesh=mesh)
     member = init_members(jax.random.PRNGKey(seed), lrs, ents)
 
     rows: list[dict[str, Any]] = []

@@ -76,16 +76,34 @@ def _random_points(space: dict[str, Any], num_samples: int,
 
 
 def run_trial(env_cfg: EnvConfig, tcfg: TrainConfig, num_seeds: int,
-              arch: str = "mlp"):
+              arch: str = "mlp", seed_mesh=None):
     """Train `num_seeds` replicas of one config in one vmapped program.
 
     Returns `metrics`: dict of arrays [num_seeds, num_updates].
+
+    ``seed_mesh``: optional mesh with a ``pop`` axis
+    (``parallel.mesh.make_pop_mesh``) — the seed-replica axis is sharded
+    across its ``pop`` devices (replicas are independent, so GSPMD
+    partitions the vmapped program with zero collectives; linear
+    scaling over devices for free).
     """
     trainer = make_train(env_cfg, tcfg, arch=arch)
     keys = jax.vmap(
         lambda s: jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), s)
     )(np.arange(num_seeds))
-    rs = jax.vmap(trainer.init)(keys)
+    init = jax.vmap(trainer.init)
+    if seed_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import POP_AXIS
+
+        if num_seeds % seed_mesh.shape[POP_AXIS]:
+            raise ValueError(
+                f"num_seeds={num_seeds} not divisible by "
+                f"{seed_mesh.shape[POP_AXIS]} pop shards")
+        init = jax.jit(
+            init, out_shardings=NamedSharding(seed_mesh, P(POP_AXIS)))
+    rs = init(keys)
     n = tcfg.num_updates
     rs, metrics = jax.jit(
         jax.vmap(lambda r: trainer.train_many(r, n))
@@ -107,6 +125,7 @@ def run_sweep(
     search: str = "grid",
     num_samples: int = 8,
     search_seed: int = 0,
+    seed_mesh=None,
 ):
     """Hyperparameter sweep. `search="grid"` takes the cartesian product
     of `grid`'s value lists; `search="random"` draws `num_samples`
@@ -127,7 +146,8 @@ def run_sweep(
     trial_scores: list[float] = []
     for i, point in enumerate(points):
         tcfg = base_tcfg.replace(**point)
-        _, metrics = run_trial(env_cfg, tcfg, num_seeds, arch=arch)
+        _, metrics = run_trial(env_cfg, tcfg, num_seeds, arch=arch,
+                               seed_mesh=seed_mesh)
         curve = metrics[select_metric]                 # [S, n]
         k = min(last_k, curve.shape[1])
         per_seed = curve[:, -k:].mean(axis=1)          # [S]
@@ -178,6 +198,7 @@ def run_asha(
     search: str = "grid",
     num_samples: int = 8,
     search_seed: int = 0,
+    seed_mesh=None,
 ):
     """Successive-halving scheduler (Ray Tune ASHA/HyperBand parity).
 
@@ -211,7 +232,19 @@ def run_asha(
         keys = jax.vmap(
             lambda s: jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), s)
         )(np.arange(num_seeds))
-        rs = jax.vmap(trainer.init)(keys)
+        init = jax.vmap(trainer.init)
+        if seed_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import POP_AXIS
+
+            if num_seeds % seed_mesh.shape[POP_AXIS]:
+                raise ValueError(
+                    f"num_seeds={num_seeds} not divisible by "
+                    f"{seed_mesh.shape[POP_AXIS]} pop shards")
+            init = jax.jit(
+                init, out_shardings=NamedSharding(seed_mesh, P(POP_AXIS)))
+        rs = init(keys)
         trials.append({"trainer": trainer, "rs": rs, "point": point})
 
     rows: list[dict[str, Any]] = []
