@@ -1,6 +1,14 @@
 """Hypothesis property tests: oracle↔engine parity and invariants over
 RANDOMIZED configs, seeds, and action sequences — coverage beyond the
-fixed-config suites."""
+fixed-config suites.
+
+The ``test_invariant_*`` family checks each docs/SEMANTICS.md §2
+invariant INDIVIDUALLY (one test id per invariant) on the JAX engine at
+high contention — the 15x15/8-agent stress shape (BASELINE config 3)
+plus the walled shelves layout — under hypothesis-driven action streams.
+"""
+
+import functools
 
 import numpy as np
 from hypothesis import given, settings, strategies as st
@@ -67,3 +75,116 @@ def test_engine_matches_oracle_random_configs(cfg, seed):
         np.testing.assert_array_equal(
             orew, np.asarray(ts.reward), err_msg=f"rew t={t} cfg={cfg}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Per-invariant property tests (docs/SEMANTICS.md §2) at high contention.
+# ---------------------------------------------------------------------------
+
+EMPTY, PENDING, IN_TRANSIT = 0, 1, 2
+_T = 25  # steps per example
+
+
+@functools.lru_cache(maxsize=256)
+def _stress_states(seed: int, action_seed: int, shelves: bool):
+    """Engine rollout at BASELINE config-3 contention; returns a list of
+    per-step state snapshots as numpy trees (cached: all invariant tests
+    share rollouts)."""
+    import jax
+
+    from warehouse_tpu import large_config
+    from warehouse_tpu.config import shelves_config
+    from warehouse_tpu.env import engine
+
+    cfg = (shelves_config(max_steps=1 << 30, spawn_prob=0.6) if shelves
+           else large_config(max_steps=1 << 30, spawn_prob=0.6))
+    rng = np.random.default_rng(action_seed)
+    state, _ = engine.reset(cfg, jax.random.PRNGKey(seed))
+    snaps = [jax.tree.map(np.asarray, state)]
+    for _ in range(_T):
+        actions = rng.integers(0, 5, cfg.num_agents).astype(np.int32)
+        state, _ = engine.step(cfg, state, actions)
+        snaps.append(jax.tree.map(np.asarray, state))
+    return cfg, snaps
+
+
+_stress_given = given(
+    seed=st.integers(0, 2**31 - 1),
+    action_seed=st.integers(0, 2**31 - 1),
+    shelves=st.booleans(),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@_stress_given
+def test_invariant_no_two_agents_share_a_cell(seed, action_seed, shelves):
+    cfg, snaps = _stress_states(seed, action_seed, shelves)
+    for t, s in enumerate(snaps):
+        cells = s.agent_pos[:, 0] * cfg.width + s.agent_pos[:, 1]
+        assert len(set(cells.tolist())) == cfg.num_agents, f"overlap t={t}"
+
+
+@settings(max_examples=12, deadline=None)
+@_stress_given
+def test_invariant_agents_in_bounds_and_off_walls(seed, action_seed,
+                                                  shelves):
+    cfg, snaps = _stress_states(seed, action_seed, shelves)
+    walls = set(cfg.walls)
+    for t, s in enumerate(snaps):
+        assert (s.agent_pos >= 0).all(), f"t={t}"
+        assert (s.agent_pos[:, 0] < cfg.height).all(), f"t={t}"
+        assert (s.agent_pos[:, 1] < cfg.width).all(), f"t={t}"
+        cells = s.agent_pos[:, 0] * cfg.width + s.agent_pos[:, 1]
+        assert not (set(cells.tolist()) & walls), f"agent on wall t={t}"
+
+
+@settings(max_examples=12, deadline=None)
+@_stress_given
+def test_invariant_carrying_iff_assigned_in_transit(seed, action_seed,
+                                                    shelves):
+    cfg, snaps = _stress_states(seed, action_seed, shelves)
+    for t, s in enumerate(snaps):
+        for i in range(cfg.num_agents):
+            r = s.agent_req[i]
+            if bool(s.carrying[i]):
+                assert r >= 0, f"carrying unassigned t={t} i={i}"
+                assert s.req_status[r] == IN_TRANSIT, f"t={t} i={i}"
+            elif r >= 0:
+                assert s.req_status[r] == PENDING, f"t={t} i={i}"
+
+
+@settings(max_examples=12, deadline=None)
+@_stress_given
+def test_invariant_agent_request_pairing_bijective(seed, action_seed,
+                                                   shelves):
+    cfg, snaps = _stress_states(seed, action_seed, shelves)
+    for t, s in enumerate(snaps):
+        for i in range(cfg.num_agents):
+            r = s.agent_req[i]
+            if r >= 0:
+                assert s.req_agent[r] == i, f"t={t} i={i} r={r}"
+        for r in range(cfg.queue_capacity):
+            a = s.req_agent[r]
+            if a >= 0:
+                assert s.agent_req[a] == r, f"t={t} r={r} a={a}"
+
+
+@settings(max_examples=12, deadline=None)
+@_stress_given
+def test_invariant_in_transit_implies_assigned(seed, action_seed, shelves):
+    cfg, snaps = _stress_states(seed, action_seed, shelves)
+    for t, s in enumerate(snaps):
+        for r in range(cfg.queue_capacity):
+            if s.req_status[r] == IN_TRANSIT:
+                assert s.req_agent[r] >= 0, f"t={t} r={r}"
+
+
+@settings(max_examples=12, deadline=None)
+@_stress_given
+def test_invariant_empty_slots_unassigned(seed, action_seed, shelves):
+    cfg, snaps = _stress_states(seed, action_seed, shelves)
+    for t, s in enumerate(snaps):
+        for r in range(cfg.queue_capacity):
+            if s.req_status[r] == EMPTY:
+                assert s.req_agent[r] == -1, f"t={t} r={r}"
+                assert r not in s.agent_req.tolist(), f"t={t} r={r}"
