@@ -184,6 +184,65 @@ def main() -> None:
     timed(lambda: learn_shuffle_once(params, opt_state),
           "learn_shuffle_once_roll")
 
+    # E4: how much of the grad cost is the [N, 5] elementwise loss chain
+    # (only 5 of 128 VPU lanes live) vs the matmuls?
+    def loss_model_only(params, mb):
+        obs = mb[0]
+        logits, value = model.apply(params, obs)
+        return (logits * logits).sum() + (value * value).sum(), (
+            jnp.float32(0),) * 4
+
+    @jax.jit
+    def grad_model_only(params, opt_state):
+        def one(carry, _):
+            params, opt_state = carry
+            (loss, _), grads = jax.value_and_grad(
+                loss_model_only, has_aux=True)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), None, length=tcfg.ppo_epochs)
+        return losses.sum()
+
+    timed(lambda: grad_model_only(params, opt_state),
+          "grad_model_only_x_epochs")
+
+    # E5: lane-efficient loss — logits transposed to [5, N] so the
+    # softmax/entropy chain runs on full 128-lane rows.
+    def loss_fn_T(params, mb):
+        obs, action, old_lp, old_v, adv, tgt = mb
+        logits, value = model.apply(params, obs)
+        lt = logits.T                                  # [5, N]
+        logp = jax.nn.log_softmax(lt, axis=0)
+        onehot = jax.nn.one_hot(action, 5, dtype=logp.dtype).T  # [5, N]
+        lp = (logp * onehot).sum(0)
+        ratio = jnp.exp(lp - old_lp)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg = -jnp.minimum(
+            ratio * adv_n,
+            jnp.clip(ratio, 0.8, 1.2) * adv_n).mean()
+        v_clip = old_v + jnp.clip(value - old_v, -0.2, 0.2)
+        v_loss = 0.5 * jnp.maximum(
+            (value - tgt) ** 2, (v_clip - tgt) ** 2).mean()
+        entropy = -(jnp.exp(logp) * logp).sum(0).mean()
+        return pg + 0.5 * v_loss - 0.01 * entropy, (
+            pg, v_loss, entropy, (old_lp - lp).mean())
+
+    @jax.jit
+    def learn_noshuffle_T(params, opt_state):
+        params, opt_state, _, losses = minibatch_epochs(
+            params, opt_state, jax.random.PRNGKey(1),
+            loss_fn=loss_fn_T,
+            make_minibatches=lambda k: jax.tree.map(
+                lambda x: x.reshape(tcfg.num_minibatches, mb_size,
+                                    *x.shape[1:]), batch),
+            num_epochs=tcfg.ppo_epochs, tx=tx)
+        return losses[0].sum()
+
+    timed(lambda: learn_noshuffle_T(params, opt_state),
+          "learn_noshuffle_transposed_loss")
+
     @jax.jit
     def grad_only_1mb(params, opt_state):
         def one(carry, _):

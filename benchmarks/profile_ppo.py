@@ -32,6 +32,12 @@ def main() -> None:
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--unroll-length", type=int, default=16)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--minibatch-mode", default="flat",
+                   choices=["flat", "env"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--full-only", action="store_true",
+                   help="skip the component phases")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of one train step")
     args = p.parse_args()
@@ -51,7 +57,9 @@ def main() -> None:
 
     env_cfg = medium_config()
     tcfg = TrainConfig(num_envs=args.num_envs,
-                       unroll_length=args.unroll_length)
+                       unroll_length=args.unroll_length,
+                       minibatch_mode=args.minibatch_mode,
+                       model_dtype=args.dtype)
     trainer = make_train(env_cfg, tcfg)
     rs = trainer.init(jax.random.PRNGKey(0))
     n = args.updates
@@ -82,6 +90,8 @@ def main() -> None:
         return metrics["loss"][-1]
 
     timed(full, "full_train_many", n * steps_per_update)
+    if args.full_only:
+        return
 
     # ---- full_steps: python loop, one readback per update --------------
     def full_steps():

@@ -147,6 +147,25 @@ def test_gae_truncation_bootstrap_matches_numpy():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
 
 
+def test_train_step_env_minibatch_mode():
+    """minibatch_mode='env' trains: finite metrics, params move, and the
+    rollout phase is identical to flat mode (only the epoch shuffle
+    granularity differs)."""
+    import jax
+
+    t_env = make_tiny_trainer(minibatch_mode="env", num_minibatches=2)
+    rs = t_env.init(jax.random.PRNGKey(0))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), rs.params)
+    for _ in range(2):
+        rs, m = t_env.train_step(rs)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(rs.params))
+    )
+
+
 def test_train_step_bootstrap_truncated_smoke():
     """End-to-end update with truncation bootstrapping on: runs, finite,
     and actually differs from the terminal-cut update (unroll spans a

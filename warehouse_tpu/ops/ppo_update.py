@@ -55,10 +55,22 @@ def ppo_losses(
 
     Returns ``(total, (pg_loss, v_loss, entropy, kl))`` — the aux tuple
     order every trainer's metrics dict relies on.
+
+    TPU layout note: the softmax/entropy chain runs on logits TRANSPOSED
+    to ``[num_actions, N]`` so each elementwise op fills all 128 vector
+    lanes — in the natural ``[N, 5]`` layout only 5 of 128 lanes are
+    live, and this chain (not the matmuls) dominated the update
+    (measured 38.1 → 29.3 ms per update at BASELINE config 4, bf16
+    matmuls throughput-neutral). Same math, one [5, N] transpose each
+    for logits and the action one-hot.
     """
-    lp = jnp.take_along_axis(
-        jax.nn.log_softmax(logits), action[..., None], axis=-1
-    ).squeeze(-1)
+    n_act = logits.shape[-1]
+    lt = logits.reshape(-1, n_act).T                    # [n_act, N]
+    logp = jax.nn.log_softmax(lt, axis=0)
+    onehot = jax.nn.one_hot(
+        action.reshape(-1), n_act, dtype=logp.dtype
+    ).T                                                 # [n_act, N]
+    lp = (logp * onehot).sum(0).reshape(action.shape)
     ratio = jnp.exp(lp - old_log_prob)
     adv_n = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
     pg1 = ratio * adv_n
@@ -68,8 +80,7 @@ def ppo_losses(
     v_loss = 0.5 * jnp.maximum(
         (value - targets) ** 2, (v_clip - targets) ** 2
     ).mean()
-    probs = jax.nn.softmax(logits)
-    entropy = -(probs * jnp.log(probs + 1e-10)).sum(-1).mean()
+    entropy = -(jnp.exp(logp) * logp).sum(0).mean()
     # Approx KL(old || new), RLlib-style penalty term.
     kl = (old_log_prob - lp).mean()
     total = pg_loss + value_coef * v_loss - ent_coef * entropy + kl_coeff * kl

@@ -42,6 +42,12 @@ def main(argv=None) -> None:
                         "(BFS distance-to-target potential; 0 = off)")
     p.add_argument("--mask-actions", action="store_true",
                    help="mask wall/out-of-grid moves at the policy logits")
+    p.add_argument("--minibatch-mode", choices=["flat", "env"],
+                   default="flat",
+                   help="PPO epoch shuffle granularity: 'flat' = fresh "
+                        "per-sample permutation (RLlib-style), 'env' = "
+                        "permute env-trajectories (TPU-fast, "
+                        "curve-equivalent)")
     p.add_argument("--bootstrap-truncated", action="store_true",
                    help="bootstrap value targets through time-limit "
                         "truncations (RLlib behavior) instead of treating "
@@ -110,6 +116,7 @@ def main(argv=None) -> None:
         entropy_coef_final=args.entropy_coef_final,
         shaping_coef=args.shaping_coef,
         mask_actions=args.mask_actions,
+        minibatch_mode=args.minibatch_mode,
         bootstrap_truncated=args.bootstrap_truncated,
         kl_coeff=args.kl_coeff,
         kl_target=args.kl_target,

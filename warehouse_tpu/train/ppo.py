@@ -115,6 +115,14 @@ def make_train(
     batch_per_shard = tcfg.unroll_length * b_local * env_cfg.num_agents
     if batch_per_shard % tcfg.num_minibatches:
         raise ValueError("T*B_local*A must divide into num_minibatches")
+    if tcfg.minibatch_mode not in ("flat", "env"):
+        raise ValueError(
+            f"minibatch_mode must be 'flat' or 'env', got "
+            f"{tcfg.minibatch_mode!r}")
+    if tcfg.minibatch_mode == "env" and b_local % tcfg.num_minibatches:
+        raise ValueError(
+            f"minibatch_mode='env' needs B_local={b_local} divisible by "
+            f"num_minibatches={tcfg.num_minibatches}")
 
     if tcfg.anneal_lr:
         total_steps = (
@@ -221,18 +229,44 @@ def make_train(
             ),
         )
 
-        # Flatten [T, B, A] → [N] for minibatching.
-        def flat(x):
-            return x.reshape(batch_per_shard, *x.shape[3:])
-
         gids_tba = jnp.broadcast_to(
             gids_ba[None], (tcfg.unroll_length, *gids_ba.shape)
         )
-        batch = (
-            flat(traj.obs), flat(traj.action), flat(traj.log_prob),
-            flat(traj.value), flat(advantages), flat(targets),
-            flat(gids_tba), flat(traj.mask),
+        fields = (
+            traj.obs, traj.action, traj.log_prob, traj.value,
+            advantages, targets, gids_tba, traj.mask,
         )
+        if tcfg.minibatch_mode == "env":
+            # Env-major layout [B, T·A, ...]: the epoch shuffle becomes a
+            # B-row gather (row-count-bound on TPU — ~64x fewer rows than
+            # the flat T·B·A gather; see TrainConfig.minibatch_mode).
+            ta = tcfg.unroll_length * env_cfg.num_agents
+            mb_envs = b_local // tcfg.num_minibatches
+
+            def envmajor(x):
+                x = jnp.moveaxis(x, 1, 0)  # [B, T, A, ...]
+                return x.reshape(b_local, ta, *x.shape[3:])
+
+            batch = tuple(envmajor(x) for x in fields)
+
+            def make_minibatches(k):
+                perm = jax.random.permutation(k, b_local)
+                return jax.tree.map(
+                    lambda x: x[perm].reshape(
+                        tcfg.num_minibatches, mb_envs * ta, *x.shape[2:]
+                    ),
+                    batch,
+                )
+
+        else:
+            # Flatten [T, B, A] → [N]; epochs re-permute all samples.
+            def flat(x):
+                return x.reshape(batch_per_shard, *x.shape[3:])
+
+            batch = tuple(flat(x) for x in fields)
+
+            def make_minibatches(k):
+                return flat_minibatches(k, batch, tcfg.num_minibatches)
 
         ent_coef = entropy_coef_at(tcfg, rs.update_idx)
 
@@ -250,9 +284,7 @@ def make_train(
         params, opt_state, key, losses = minibatch_epochs(
             params, rs.opt_state, key,
             loss_fn=loss_fn,
-            make_minibatches=lambda k: flat_minibatches(
-                k, batch, tcfg.num_minibatches
-            ),
+            make_minibatches=make_minibatches,
             num_epochs=tcfg.ppo_epochs,
             tx=tx,
             pmean_axis=DATA_AXIS if mesh is not None else None,
