@@ -1,17 +1,27 @@
-"""Throughput benchmark: batched greedy rollout, fully jitted on 1 chip.
+"""Throughput benchmark on 1 chip, three paths, ONE JSON line.
 
-Implements BASELINE.json config 2 (9x9 grid, 4 agents, greedy baseline
-jitted) at stress batch size via the fused Pallas rollout kernel
-(warehouse_tpu/pallas/rollout.py — bit-exact against the XLA engine,
-tests/test_pallas.py), and prints ONE JSON line.
+Paths reported (BASELINE.json configs 2 & 4):
 
-North-star metric (BASELINE.json:2): env-steps/s per chip. The aggregate
-target is >10M env-steps/s on v5e-16 (16 chips), i.e. 625k
-steps/s/chip — ``vs_baseline`` is measured-per-chip / 625k.
+- ``pallas``  — fused Pallas greedy rollout kernel (headline `value`):
+  full 128-step episodes at B=131072 incl. synchronized reset
+  (warehouse_tpu/pallas/rollout.py, bit-exact vs the XLA engine).
+- ``engine``  — pure-XLA engine + jitted greedy policy, auto-reset fused
+  in-step (the general-policy rollout path), B=8192.
+- ``ppo``     — the TRAINED path: full Anakin PPO update (rollout + GAE +
+  4 epochs x 4 minibatches) at BASELINE config 4 (4096 envs, 9x9, 4
+  agents), minibatch_mode="env" (docs/RESULTS.md: curve-equivalent).
 
-Episodes are episode-synchronized (all envs reset together at
-t = max_steps), so auto-reset runs between kernel invocations; its cost
-is included in the timing.
+North-star metric (BASELINE.json:2): env-steps/s per chip; the aggregate
+target is >10M env-steps/s on v5e-16, i.e. 625k/chip — ``vs_baseline``
+is headline-per-chip / 625k.
+
+Timing is gated on host readbacks of device-side scalars, NOT
+``block_until_ready`` (unreliable over this machine's remote-device
+transport — see docs/RESULTS.md). The headline pays ONE readback for all
+episodes; ``pallas_episode_s`` additionally reports per-episode timings
+(each gated on its own readback, so they include one tunnel round-trip)
+as a chip-weather diagnostic: a wide spread means tunnel/chip variance,
+not a code regression.
 """
 
 from __future__ import annotations
@@ -31,14 +41,7 @@ def _progress(msg: str) -> None:
           flush=True)
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from warehouse_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
+def bench_pallas(jax, jnp):
     from warehouse_tpu import medium_config
     from warehouse_tpu.env import engine
     from warehouse_tpu.pallas.rollout import greedy_rollout_pallas
@@ -56,27 +59,19 @@ def main() -> None:
         return state
 
     def episode(state):
-        # Full-episode fused rollout + synchronized reset (auto-reset
-        # equivalent for episode-aligned batches); reset cost is timed.
         new_state, deliv, rew = greedy_rollout_pallas(cfg, state, T, BLOCK)
         return new_state, deliv.sum(), rew.sum()
 
-    _progress(f"compiling reset (B={B}) …")
+    _progress(f"pallas: compiling reset (B={B}) …")
     state = reset_all(0)
-    # Warmup/compile.
-    _progress("compiling fused Pallas rollout kernel …")
+    _progress("pallas: compiling fused rollout kernel …")
     t_c = time.perf_counter()
     s2, d, r = episode(state)
     _ = int(d)
-    _progress(f"warmup episode done in {time.perf_counter() - t_c:.1f}s; "
+    _progress(f"pallas: warmup episode {time.perf_counter() - t_c:.1f}s; "
               "timing 8 episodes …")
 
-    # The timing gate is ONE host readback of the summed delivery count
-    # at the end: every episode's deliveries feed the device-side sum, so
-    # the readback can't complete until all iters have really executed
-    # (block_until_ready proved unreliable over the remote-device
-    # transport, and a readback PER episode pays the tunnel round-trip —
-    # measured at ~64 ms — iters times instead of once).
+    # Aggregate (headline): one readback for all episodes.
     iters = 8
     deliv_parts = []
     t0 = time.perf_counter()
@@ -87,11 +82,107 @@ def main() -> None:
     total_d = int(sum(deliv_parts))
     dt = time.perf_counter() - t0
     assert total_d > 0, "no deliveries — engine dynamics look broken"
+    agg_sps = B * T * iters / dt
 
-    steps = B * T * iters
-    sps = steps / dt
+    # Per-episode spread diagnostic: each timing pays its own readback.
+    ep_times = []
+    for i in range(4):
+        state = reset_all(100 + i)
+        t1 = time.perf_counter()
+        state, d, r = episode(state)
+        _ = int(d)
+        ep_times.append(round(time.perf_counter() - t1, 4))
+    return agg_sps, ep_times
+
+
+def bench_engine(jax, jnp):
+    from warehouse_tpu import medium_config
+    from warehouse_tpu.baselines.greedy import greedy_actions
+    from warehouse_tpu.env import engine
+
+    cfg = medium_config(auto_reset=True)
+    B, T = 8192, 256
+
+    @jax.jit
+    def reset_all(seed):
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        )(jnp.arange(B))
+        state, _ = jax.vmap(lambda k: engine.reset(cfg, k))(keys)
+        return state
+
+    @jax.jit
+    def rollout(state):
+        def body(s, _):
+            a = jax.vmap(lambda ss: greedy_actions(cfg, ss))(s)
+            s, ts = jax.vmap(
+                lambda ss, aa: engine.step(cfg, ss, aa)
+            )(s, a)
+            return s, ts.delivered.sum()
+        s, dels = jax.lax.scan(body, state, None, length=T)
+        return s, dels.sum()
+
+    _progress(f"engine: compiling greedy rollout (B={B}, T={T}) …")
+    state = reset_all(0)
+    _, d = rollout(state)
+    _ = int(d)
+    _progress("engine: timing …")
+    best = None
+    for i in range(3):
+        state = reset_all(i)
+        t0 = time.perf_counter()
+        _, d = rollout(state)
+        assert int(d) >= 0
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return B * T / best
+
+
+def bench_ppo(jax, jnp):
+    from warehouse_tpu.config import TrainConfig, medium_config
+    from warehouse_tpu.train.ppo import make_train
+
+    tcfg = TrainConfig(num_envs=4096, unroll_length=16,
+                       minibatch_mode="env")
+    trainer = make_train(medium_config(), tcfg)
+    _progress("ppo: compiling train_many (config 4) …")
+    rs = trainer.init(jax.random.PRNGKey(0))
+    n = 10
+    rs, m = trainer.train_many(rs, n)
+    _ = float(m["loss"][-1])
+    _progress("ppo: timing …")
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rs, m = trainer.train_many(rs, n)
+        _ = float(m["loss"][-1])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return n * tcfg.num_envs * tcfg.unroll_length / best
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from warehouse_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    pallas_sps, ep_times = bench_pallas(jax, jnp)
+
+    def _try(name, fn):
+        try:
+            return fn(jax, jnp)
+        except Exception as e:  # secondary paths must not sink the bench
+            _progress(f"{name} path FAILED: {e!r}")
+            return None
+
+    engine_sps = _try("engine", bench_engine)
+    ppo_sps = _try("ppo", bench_ppo)
+
     n_chips = jax.device_count()
-    per_chip = sps / n_chips
+    per_chip = pallas_sps / n_chips
     print(
         json.dumps(
             {
@@ -99,10 +190,24 @@ def main() -> None:
                 "value": round(per_chip),
                 "unit": (
                     "env-steps/s/chip (9x9 grid, 4 agents, greedy baseline,"
-                    f" fused Pallas rollout, B={B}, full 128-step episodes"
-                    " incl. reset)"
+                    f" fused Pallas rollout, B=131072, full 128-step"
+                    " episodes incl. reset)"
                 ),
                 "vs_baseline": round(per_chip / PER_CHIP_TARGET, 3),
+                "engine_path_steps_per_s": (
+                    round(engine_sps) if engine_sps else None
+                ),
+                "ppo_trained_steps_per_s": (
+                    round(ppo_sps) if ppo_sps else None
+                ),
+                "ppo_vs_baseline": (
+                    round(ppo_sps / PER_CHIP_TARGET, 3) if ppo_sps else None
+                ),
+                "pallas_episode_s": ep_times,
+                "pallas_episode_spread": (
+                    round(max(ep_times) / min(ep_times), 2)
+                    if min(ep_times) > 0 else None
+                ),
             }
         )
     )
