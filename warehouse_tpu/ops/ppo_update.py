@@ -64,13 +64,7 @@ def ppo_losses(
     matmuls throughput-neutral). Same math, one [5, N] transpose each
     for logits and the action one-hot.
     """
-    n_act = logits.shape[-1]
-    lt = logits.reshape(-1, n_act).T                    # [n_act, N]
-    logp = jax.nn.log_softmax(lt, axis=0)
-    onehot = jax.nn.one_hot(
-        action.reshape(-1), n_act, dtype=logp.dtype
-    ).T                                                 # [n_act, N]
-    lp = (logp * onehot).sum(0).reshape(action.shape)
+    lp, entropy = action_log_prob_entropy(logits, action)
     ratio = jnp.exp(lp - old_log_prob)
     adv_n = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
     pg1 = ratio * adv_n
@@ -80,11 +74,27 @@ def ppo_losses(
     v_loss = 0.5 * jnp.maximum(
         (value - targets) ** 2, (v_clip - targets) ** 2
     ).mean()
-    entropy = -(jnp.exp(logp) * logp).sum(0).mean()
     # Approx KL(old || new), RLlib-style penalty term.
     kl = (old_log_prob - lp).mean()
     total = pg_loss + value_coef * v_loss - ent_coef * entropy + kl_coeff * kl
     return total, (pg_loss, v_loss, entropy, kl)
+
+
+def action_log_prob_entropy(logits: jax.Array, action: jax.Array):
+    """(log π(a|s) with action's shape, mean entropy) from logits
+    ``[..., n_act]`` — computed on the ``[n_act, N]`` transpose so the
+    softmax/entropy chain fills all 128 vector lanes (see ppo_losses'
+    TPU layout note). Shared by the PPO loss and IMPALA's V-trace loss.
+    """
+    n_act = logits.shape[-1]
+    lt = logits.reshape(-1, n_act).T                    # [n_act, N]
+    logp = jax.nn.log_softmax(lt, axis=0)
+    onehot = jax.nn.one_hot(
+        action.reshape(-1), n_act, dtype=logp.dtype
+    ).T
+    lp = (logp * onehot).sum(0).reshape(action.shape)
+    entropy = -(jnp.exp(logp) * logp).sum(0).mean()
+    return lp, entropy
 
 
 def entropy_coef_at(tcfg, update_idx: jax.Array):

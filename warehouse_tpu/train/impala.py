@@ -34,6 +34,7 @@ from ..config import EnvConfig, TrainConfig
 from ..env import engine
 from ..models import make_model
 from ..ops.move import valid_action_mask
+from ..ops.ppo_update import action_log_prob_entropy
 from ..ops.vtrace import vtrace
 from ..parallel.mesh import DATA_AXIS
 
@@ -175,10 +176,8 @@ def make_train_impala(
             value = value.reshape(T, Bmb, env_cfg.num_agents)
             if tcfg.mask_actions:
                 logits = jnp.where(mb.mask, logits, -1e9)
-            log_probs = jax.nn.log_softmax(logits)
-            lp = jnp.take_along_axis(
-                log_probs, mb.action[..., None], axis=-1
-            ).squeeze(-1)
+            # Lane-efficient [n_act, N] log-prob/entropy (ops/ppo_update).
+            lp, entropy = action_log_prob_entropy(logits, mb.action)
             _, last_value = model.apply(
                 params, last_obs_mb.reshape(Bmb * env_cfg.num_agents, -1)
             )
@@ -193,8 +192,6 @@ def make_train_impala(
             )
             pg_loss = -(lp * pg_adv).mean()
             v_loss = 0.5 * ((value - vs) ** 2).mean()
-            probs = jax.nn.softmax(logits)
-            entropy = -(probs * jnp.log(probs + 1e-10)).sum(-1).mean()
             total = (
                 pg_loss + tcfg.value_coef * v_loss
                 - tcfg.entropy_coef * entropy
