@@ -177,6 +177,15 @@ class TrainConfig:
     learning_rate: float = 3e-4
     max_grad_norm: float = 0.5
     anneal_lr: bool = True
+    # Run the optimizer on the raveled parameter vector (optax.flatten):
+    # fuses the ~10 per-tensor Adam/global-norm ops into single vector
+    # ops. Measured THROUGHPUT-NEUTRAL at BASELINE config 4 (2.771M vs
+    # 2.775M env-steps/s — the update is not optimizer-bound), so it
+    # defaults off to keep opt_state checkpoint structure stable; it
+    # exists for configs that multiply tiny-op count (vmapped PBT
+    # populations, many-layer torsos). Same math (global-norm reduction
+    # order aside).
+    flat_optimizer: bool = False
     # Linear entropy-coefficient anneal: entropy_coef → entropy_coef_final
     # over num_updates. Negative = disabled (constant entropy_coef).
     entropy_coef_final: float = -1.0

@@ -104,6 +104,8 @@ def make_train_impala(
         optax.rmsprop(lr, decay=0.99, eps=0.1)
         if tcfg.impala_rmsprop else optax.adam(lr, eps=1e-5),
     )
+    if tcfg.flat_optimizer:
+        tx = optax.flatten(tx)
 
     # ---------------------------------------------------------------- init
     def init(key: jax.Array) -> ImpalaRunnerState:

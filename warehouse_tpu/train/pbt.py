@@ -127,6 +127,11 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
         optax.inject_hyperparams(optax.adam)(
             learning_rate=tcfg.learning_rate, eps=1e-5),
     )
+    if tcfg.flat_optimizer:
+        # optax.flatten runs the chain on the raveled param vector; its
+        # state IS the inner (clip, inject) tuple, so set_lr below and
+        # the PBT exploit/explore state copies are layout-agnostic.
+        tx = optax.flatten(tx)
 
     def init_one(key: jax.Array, lr: jax.Array,
                  ent: jax.Array) -> MemberState:

@@ -135,6 +135,8 @@ def make_train(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
         optax.adam(lr, eps=1e-5),
     )
+    if tcfg.flat_optimizer:
+        tx = optax.flatten(tx)
 
     # ---------------------------------------------------------------- init
     def init(key: jax.Array) -> RunnerState:

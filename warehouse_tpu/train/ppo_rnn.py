@@ -92,6 +92,8 @@ def make_train_rnn(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
         optax.adam(lr, eps=1e-5),
     )
+    if tcfg.flat_optimizer:
+        tx = optax.flatten(tx)
 
     A = env_cfg.num_agents
 
