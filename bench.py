@@ -99,6 +99,7 @@ def bench_engine(jax, jnp):
     from warehouse_tpu import medium_config
     from warehouse_tpu.baselines.greedy import greedy_actions
     from warehouse_tpu.env import engine
+    from warehouse_tpu.env.batch import step_autoreset_batch
 
     cfg = medium_config(auto_reset=True)
     B, T = 8192, 256
@@ -115,9 +116,9 @@ def bench_engine(jax, jnp):
     def rollout(state):
         def body(s, _):
             a = jax.vmap(lambda ss: greedy_actions(cfg, ss))(s)
-            s, ts = jax.vmap(
-                lambda ss, aa: engine.step(cfg, ss, aa)
-            )(s, a)
+            # Canonical general-policy path: auto-reset cond-gated at
+            # the batch level (bit-exact vs in-step, tests/test_autoreset).
+            s, ts = step_autoreset_batch(cfg, s, a)
             return s, ts.delivered.sum()
         s, dels = jax.lax.scan(body, state, None, length=T)
         return s, dels.sum()

@@ -80,28 +80,29 @@ def observe(
     pending = req_status == PENDING
 
     if cfg.global_obs:
-        # Channels over the full grid, one [H*W] axis per channel.
+        # Channels over the full grid. Same lane discipline as the ego
+        # branch below: every compare keeps the H·W grid axis MINOR
+        # ([E, H·W] shapes), channels stack [5, A, H·W], one transpose
+        # restores the spec's channel-last [H, W, 5] ravel.
+        A = agent_pos.shape[0]
         rows = (jnp.arange(H * W) // W).astype(jnp.int32)
         cols = (jnp.arange(H * W) % W).astype(jnp.int32)
         # [A, H*W]: cell == my position
         self_oh = (
-            (rows[None, :] == agent_pos[:, None, 0])
-            & (cols[None, :] == agent_pos[:, None, 1])
+            (rows[None, :] == agent_pos[:, 0:1])
+            & (cols[None, :] == agent_pos[:, 1:2])
         )
         # [H*W]: any agent on the cell (then mask out self per agent)
-        any_agent = (
-            (rows[:, None] == agent_pos[None, :, 0])
-            & (cols[:, None] == agent_pos[None, :, 1])
-        ).any(-1)
+        any_agent = self_oh.any(0)
         others = any_agent[None, :] & ~self_oh
         pend_cells = (
-            (rows[:, None] == req_pickup[None, :, 0])
-            & (cols[:, None] == req_pickup[None, :, 1])
-            & pending[None, :]
-        ).any(-1)
+            (rows[None, :] == req_pickup[:, 0:1])
+            & (cols[None, :] == req_pickup[:, 1:2])
+            & pending[:, None]
+        ).any(0)
         tgt_oh = (
-            (rows[None, :] == tgt[:, None, 0])
-            & (cols[None, :] == tgt[:, None, 1])
+            (rows[None, :] == tgt[:, 0:1])
+            & (cols[None, :] == tgt[:, 1:2])
             & has_task[:, None]
         )
         # ch4: traversable (not a wall) — ego ch3 semantics over the full
@@ -109,64 +110,66 @@ def observe(
         free = jnp.ones(H * W, bool)
         for w in cfg.walls:
             free = free & (jnp.arange(H * W) != w)
-        # Spec layout: [H, W, 5] ravel, channel-last.
+        # [5, A, H*W] → [A, H*W, 5]: spec layout [H, W, 5] ravel.
         grid = jnp.stack(
             [
-                self_oh.astype(jnp.float32),
-                others.astype(jnp.float32),
-                jnp.broadcast_to(
-                    pend_cells[None, :], self_oh.shape
-                ).astype(jnp.float32),
-                tgt_oh.astype(jnp.float32),
-                jnp.broadcast_to(
-                    free[None, :], self_oh.shape
-                ).astype(jnp.float32),
+                self_oh,
+                others,
+                jnp.broadcast_to(pend_cells[None, :], self_oh.shape),
+                tgt_oh,
+                jnp.broadcast_to(free[None, :], self_oh.shape),
             ],
-            axis=-1,
-        )  # [A, H*W, 5]
-        return jnp.concatenate(
-            [grid.reshape(agent_pos.shape[0], -1), feats], axis=-1
-        )
+            axis=0,
+        ).astype(jnp.float32)
+        grid = jnp.transpose(grid, (1, 2, 0))
+        return jnp.concatenate([grid.reshape(A, -1), feats], axis=-1)
 
     k, S = cfg.obs_radius, cfg.window_size
-    # Window cell coordinates per agent: [A, S*S, 2].
+    A = agent_pos.shape[0]
+    n = A * S * S
+    # TPU layout note (measured ~8 ms/update at BASELINE config 4 before
+    # this shape discipline): under vmap these arrays get a leading [B]
+    # batch axis, and the MINOR axis maps to the 128 vector lanes. The
+    # natural [A, S², E] compare puts E = num_entities (4–16) on lanes —
+    # 3–12% lane occupancy. Everything below therefore keeps the fused
+    # window axis (A·S² ≈ 100–200) MINOR: compares are [E, A·S²], the
+    # channel stack is [4, A·S²], and a single transpose at the end
+    # restores the spec's channel-last [S, S, 4] ravel. Same booleans,
+    # bit-exact vs the oracle.
     offs_r = (jnp.arange(S * S) // S).astype(jnp.int32) - k
     offs_c = (jnp.arange(S * S) % S).astype(jnp.int32) - k
-    wr = agent_pos[:, None, 0] + offs_r[None, :]
-    wc = agent_pos[:, None, 1] + offs_c[None, :]
+    # Window cell coordinates, fused [A·S²].
+    wr = (agent_pos[:, 0:1] + offs_r[None, :]).reshape(n)
+    wc = (agent_pos[:, 1:2] + offs_c[None, :]).reshape(n)
 
-    # ch0: any agent on the cell ([A, S², A'] compare).
+    # ch0: any agent on the cell ([A', A·S²] compare).
     ch0 = (
-        (wr[:, :, None] == agent_pos[None, None, :, 0])
-        & (wc[:, :, None] == agent_pos[None, None, :, 1])
-    ).any(-1)
-    # ch1: pending pickup on the cell ([A, S², R] compare).
+        (wr[None, :] == agent_pos[:, 0:1])
+        & (wc[None, :] == agent_pos[:, 1:2])
+    ).any(0)
+    # ch1: pending pickup on the cell ([R, A·S²] compare).
     ch1 = (
-        (wr[:, :, None] == req_pickup[None, None, :, 0])
-        & (wc[:, :, None] == req_pickup[None, None, :, 1])
-        & pending[None, None, :]
-    ).any(-1)
-    # ch2: own target on the cell.
+        (wr[None, :] == req_pickup[:, 0:1])
+        & (wc[None, :] == req_pickup[:, 1:2])
+        & pending[:, None]
+    ).any(0)
+    # ch2: own target on the cell (per-agent values broadcast over S²).
+    def per_agent(v):
+        return jnp.broadcast_to(v[:, None], (A, S * S)).reshape(n)
+
     ch2 = (
-        (wr == tgt[:, None, 0]) & (wc == tgt[:, None, 1])
-        & has_task[:, None]
+        (wr == per_agent(tgt[:, 0])) & (wc == per_agent(tgt[:, 1]))
+        & per_agent(has_task)
     )
     # ch3: cell inside the grid and not a wall (docs/SEMANTICS.md §1a).
     ch3 = (wr >= 0) & (wr < H) & (wc >= 0) & (wc < W)
     if cfg.walls:
         wcell = wr * W + wc
-        for w in cfg.walls:
-            ch3 = ch3 & (wcell != w)
+        walls = jnp.array(cfg.walls, jnp.int32)
+        ch3 = ch3 & ~(wcell[None, :] == walls[:, None]).any(0)
 
-    win = jnp.stack(
-        [
-            ch0.astype(jnp.float32),
-            ch1.astype(jnp.float32),
-            ch2.astype(jnp.float32),
-            ch3.astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # [A, S², 4] — ravel matches the [S, S, 4] channel-last spec order
-    return jnp.concatenate(
-        [win.reshape(agent_pos.shape[0], -1), feats], axis=-1
-    )
+    win = jnp.stack([ch0, ch1, ch2, ch3], axis=0).astype(jnp.float32)
+    # [4, A·S²] → [A, S², 4]: one transpose restores the channel-last
+    # spec order ([S, S, 4] ravel per agent, docs/SEMANTICS.md §10).
+    win = jnp.transpose(win.reshape(4, A, S * S), (1, 2, 0))
+    return jnp.concatenate([win.reshape(A, -1), feats], axis=-1)

@@ -32,6 +32,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import EnvConfig, TrainConfig
 from ..env import engine
+from ..env.batch import step_autoreset_batch
 from ..models import make_model
 from ..ops.move import valid_action_mask
 from ..ops.ppo_update import action_log_prob_entropy
@@ -149,9 +150,9 @@ def make_train_impala(
             log_prob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[..., None], axis=-1
             ).squeeze(-1)
-            env_state, ts = jax.vmap(
-                lambda s, a: engine.step(env_cfg, s, a)
-            )(env_state, action.astype(jnp.int32))
+            env_state, ts = step_autoreset_batch(
+                env_cfg, env_state, action.astype(jnp.int32)
+            )
             done = jnp.broadcast_to(
                 ts.truncated[:, None], ts.reward.shape
             )  # [B, A]

@@ -26,6 +26,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import EnvConfig, TrainConfig
 from ..env import engine
+from ..env.batch import step_autoreset_batch
 from ..models import make_model
 from ..ops.gae import gae
 from ..ops.move import valid_action_mask
@@ -141,9 +142,9 @@ def make_train_rnn(
             action, log_prob = sample_action(akey, logits)
             if tcfg.shaping_coef > 0.0:
                 phi = jax.vmap(lambda s: potential(env_cfg, s))(env_state)
-            env_state, ts = jax.vmap(
-                lambda s, a: engine.step(env_cfg, s, a)
-            )(env_state, action.astype(jnp.int32))
+            env_state, ts = step_autoreset_batch(
+                env_cfg, env_state, action.astype(jnp.int32)
+            )
             done = jnp.broadcast_to(ts.truncated[:, None], ts.reward.shape)
             reward = ts.reward
             if tcfg.shaping_coef > 0.0:
