@@ -40,6 +40,7 @@ def main() -> None:
 
     from warehouse_tpu.config import medium_config
     from warehouse_tpu.env import engine
+    from warehouse_tpu.env.batch import step_autoreset_batch
     from warehouse_tpu.models import make_model
     from warehouse_tpu.ops.gae import gae
     from warehouse_tpu.ops.ppo_update import ppo_losses, sample_action
@@ -67,9 +68,8 @@ def main() -> None:
             k, ak = jax.random.split(k)
             logits, value = model.apply(params, o)
             action, log_prob = sample_action(ak, logits)
-            s, ts = jax.vmap(
-                lambda ss, aa: engine.step(env_cfg, ss, aa)
-            )(s, action.astype(jnp.int32))
+            s, ts = step_autoreset_batch(env_cfg, s,
+                                         action.astype(jnp.int32))
             done = jnp.broadcast_to(ts.truncated[:, None], ts.reward.shape)
             return (s, ts.obs, k), (o, action, log_prob, value,
                                     ts.reward, done)
