@@ -37,6 +37,180 @@ EMPTY, PENDING, IN_TRANSIT = 0, 1, 2
 STAY, UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3, 4
 
 
+def env_tick(cfg: EnvConfig, p_r, p_c, aq, cy,
+             q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+             act, u, spick, sdrop):
+    """One env tick on batch-minor [1, B] row lists, given per-agent
+    actions — the movement → pickup → delivery → spawn → assignment
+    sub-step sequence of ``engine.step`` (docs/SEMANTICS.md §4–§8),
+    shared by the greedy kernel below and the act-phase PPO kernel
+    (``pallas/act.py``). Bit-exactness vs the XLA engine is guarded by
+    tests/test_pallas.py through the greedy kernel.
+
+    Returns ``(p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+    picked, delivered, collided)`` — the last three are per-agent [1, B]
+    bool lists for the caller's reward accounting.
+    """
+    A, R, H, W = (cfg.num_agents, cfg.queue_capacity, cfg.height,
+                  cfg.width)
+    p_r, p_c, aq, cy = list(p_r), list(p_c), list(aq), list(cy)
+    q_pr, q_pc = list(q_pr), list(q_pc)
+    q_dr, q_dc = list(q_dr), list(q_dc)
+    q_st, q_ag = list(q_st), list(q_ag)
+
+    # ---- movement rules 1-4 (§4) ------------------------------------
+    prop_r, prop_c, moving = [], [], []
+    for i in range(A):
+        a = act[i]
+        dr = jnp.where(a == UP, -1, jnp.where(a == DOWN, 1, 0))
+        dc = jnp.where(a == LEFT, -1, jnp.where(a == RIGHT, 1, 0))
+        pr = p_r[i] + dr
+        pc_ = p_c[i] + dc
+        mv = (a != STAY) & (pr >= 0) & (pr < H) & (pc_ >= 0) & (pc_ < W)
+        for wcell in cfg.walls:  # static unrolled wall checks (§1a)
+            mv = mv & ~((pr == wcell // W) & (pc_ == wcell % W))
+        prop_r.append(jnp.where(mv, pr, p_r[i]))
+        prop_c.append(jnp.where(mv, pc_, p_c[i]))
+        moving.append(mv)
+
+    # rule 2: same target — lowest index wins.
+    for i in range(1, A):
+        lost = jnp.zeros_like(moving[i])
+        for j in range(i):
+            lost = lost | (
+                moving[i] & moving[j]
+                & (prop_r[i] == prop_r[j]) & (prop_c[i] == prop_c[j])
+            )
+        moving[i] = moving[i] & ~lost
+        prop_r[i] = jnp.where(moving[i], prop_r[i], p_r[i])
+        prop_c[i] = jnp.where(moving[i], prop_c[i], p_c[i])
+    # rule 3: swaps — both revert.
+    swap = [jnp.zeros_like(moving[i]) for i in range(A)]
+    for i in range(A):
+        for j in range(i + 1, A):
+            sw = (
+                moving[i] & moving[j]
+                & (prop_r[i] == p_r[j]) & (prop_c[i] == p_c[j])
+                & (prop_r[j] == p_r[i]) & (prop_c[j] == p_c[i])
+            )
+            swap[i] = swap[i] | sw
+            swap[j] = swap[j] | sw
+    for i in range(A):
+        moving[i] = moving[i] & ~swap[i]
+        prop_r[i] = jnp.where(moving[i], prop_r[i], p_r[i])
+        prop_c[i] = jnp.where(moving[i], prop_c[i], p_c[i])
+    # rule 4: blocked-cell fixed point, A passes.
+    for _ in range(A):
+        for i in range(A):
+            b = jnp.zeros_like(moving[i])
+            for j in range(A):
+                if j == i:
+                    continue
+                b = b | (
+                    moving[i] & ~moving[j]
+                    & (prop_r[i] == prop_r[j])
+                    & (prop_c[i] == prop_c[j])
+                )
+            # In-pass updates are fine: reverts only propagate.
+            moving[i] = moving[i] & ~b
+            prop_r[i] = jnp.where(moving[i], prop_r[i], p_r[i])
+            prop_c[i] = jnp.where(moving[i], prop_c[i], p_c[i])
+    collided = [(act[i] != STAY) & ~moving[i] for i in range(A)]
+    p_r, p_c = prop_r, prop_c
+
+    # ---- pickup (§5): one-hot reads of my request cells -------------
+    picked = []
+    for i in range(A):
+        has_i = aq[i] >= 0
+        my_st = jnp.zeros_like(aq[i])
+        tpr = jnp.zeros_like(p_r[i])
+        tpc = jnp.zeros_like(p_r[i])
+        for r in range(R):
+            m = aq[i] == r
+            my_st = jnp.where(m, q_st[r], my_st)
+            tpr = jnp.where(m, q_pr[r], tpr)
+            tpc = jnp.where(m, q_pc[r], tpc)
+        pk = (
+            has_i & (cy[i] == 0) & (my_st == PENDING)
+            & (p_r[i] == tpr) & (p_c[i] == tpc)
+        )
+        picked.append(pk)
+        cy[i] = jnp.where(pk, 1, cy[i])
+    for r in range(R):
+        sp = jnp.zeros_like(picked[0])
+        for i in range(A):
+            sp = sp | (picked[i] & (aq[i] == r))
+        q_st[r] = jnp.where(sp, IN_TRANSIT, q_st[r])
+
+    # ---- delivery (§5) ----------------------------------------------
+    delivered = []
+    for i in range(A):
+        has_i = aq[i] >= 0
+        tdr = jnp.zeros_like(p_r[i])
+        tdc = jnp.zeros_like(p_r[i])
+        for r in range(R):
+            m = aq[i] == r
+            tdr = jnp.where(m, q_dr[r], tdr)
+            tdc = jnp.where(m, q_dc[r], tdc)
+        dl = (
+            has_i & (cy[i] != 0)
+            & (p_r[i] == tdr) & (p_c[i] == tdc)
+        )
+        delivered.append(dl)
+    for r in range(R):
+        sd = jnp.zeros_like(delivered[0])
+        for i in range(A):
+            sd = sd | (delivered[i] & (aq[i] == r))
+        q_st[r] = jnp.where(sd, EMPTY, q_st[r])
+        q_ag[r] = jnp.where(sd, -1, q_ag[r])
+        q_pr[r] = jnp.where(sd, 0, q_pr[r])
+        q_pc[r] = jnp.where(sd, 0, q_pc[r])
+        q_dr[r] = jnp.where(sd, 0, q_dr[r])
+        q_dc[r] = jnp.where(sd, 0, q_dc[r])
+    for i in range(A):
+        aq[i] = jnp.where(delivered[i], -1, aq[i])
+        cy[i] = jnp.where(delivered[i], 0, cy[i])
+
+    # ---- spawn (§6): lowest-index EMPTY slot -------------------------
+    ok = u < cfg.spawn_prob
+    sp_r = spick // W
+    sp_c = spick % W
+    sd_r = sdrop // W
+    sd_c = sdrop % W
+    taken = jnp.zeros_like(ok)
+    for r in range(R):
+        w = ok & ~taken & (q_st[r] == EMPTY)
+        q_pr[r] = jnp.where(w, sp_r, q_pr[r])
+        q_pc[r] = jnp.where(w, sp_c, q_pc[r])
+        q_dr[r] = jnp.where(w, sd_r, q_dr[r])
+        q_dc[r] = jnp.where(w, sd_c, q_dc[r])
+        q_st[r] = jnp.where(w, PENDING, q_st[r])
+        q_ag[r] = jnp.where(w, -1, q_ag[r])
+        taken = taken | w
+
+    # ---- assignment (§7) ---------------------------------------------
+    BIG = jnp.int32(1 << 30)
+    for i in range(A):
+        need = aq[i] < 0
+        best_d = jnp.full_like(q_st[0], BIG)
+        best_r = jnp.full_like(q_st[0], -1)
+        for r in range(R):
+            avail = (q_st[r] == PENDING) & (q_ag[r] < 0)
+            d = (jnp.abs(p_r[i] - q_pr[r])
+                 + jnp.abs(p_c[i] - q_pc[r]))
+            better = avail & (d < best_d)  # strict <: lowest r ties
+            best_d = jnp.where(better, d, best_d)
+            best_r = jnp.where(better, r, best_r)
+        take = need & (best_r >= 0)
+        aq[i] = jnp.where(take, best_r, aq[i])
+        for r in range(R):
+            q_ag[r] = jnp.where(take & (best_r == r), i, q_ag[r])
+
+    return (tuple(p_r), tuple(p_c), tuple(aq), tuple(cy),
+            tuple(q_pr), tuple(q_pc), tuple(q_dr), tuple(q_dc),
+            tuple(q_st), tuple(q_ag), picked, delivered, collided)
+
+
 def _kernel(cfg: EnvConfig, T: int,
             pos_r, pos_c, areq, carry,
             rp_r, rp_c, rd_r, rd_c, rstat, ragent,
@@ -61,19 +235,13 @@ def _kernel(cfg: EnvConfig, T: int,
     def step(t, s):
         (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
          deliv, rew) = s
-        p_r, p_c, aq, cy = list(p_r), list(p_c), list(aq), list(cy)
-        q_pr, q_pc = list(q_pr), list(q_pc)
-        q_dr, q_dc = list(q_dr), list(q_dc)
-        q_st, q_ag = list(q_st), list(q_ag)
 
         u = u_ref[pl.ds(t, 1), :]          # [1, B]
         spick = pick_ref[pl.ds(t, 1), :]
         sdrop = drop_ref[pl.ds(t, 1), :]
 
         # ---- greedy actions (§12): one-hot read of my request cells ---
-        tgt_r, tgt_c = [], []
-        tpr_l, tpc_l, tdr_l, tdc_l = [], [], [], []
-        has = []
+        act = []
         for i in range(A):
             tpr = jnp.zeros_like(p_r[i])
             tpc = jnp.zeros_like(p_r[i])
@@ -85,155 +253,23 @@ def _kernel(cfg: EnvConfig, T: int,
                 tpc = jnp.where(m, q_pc[r], tpc)
                 tdr = jnp.where(m, q_dr[r], tdr)
                 tdc = jnp.where(m, q_dc[r], tdc)
-            h = aq[i] >= 0
-            has.append(h)
-            tpr_l.append(tpr)
-            tpc_l.append(tpc)
-            tdr_l.append(tdr)
-            tdc_l.append(tdc)
-            tgt_r.append(jnp.where(cy[i] != 0, tdr, tpr))
-            tgt_c.append(jnp.where(cy[i] != 0, tdc, tpc))
-
-        act, prop_r, prop_c, moving = [], [], [], []
-        for i in range(A):
-            drow = tgt_r[i] - p_r[i]
-            dcol = tgt_c[i] - p_c[i]
+            has_i = aq[i] >= 0
+            tgt_r = jnp.where(cy[i] != 0, tdr, tpr)
+            tgt_c = jnp.where(cy[i] != 0, tdc, tpc)
+            drow = tgt_r - p_r[i]
+            dcol = tgt_c - p_c[i]
             vert = jnp.where(drow < 0, UP, DOWN)
             horiz = jnp.where(dcol < 0, LEFT, RIGHT)
             a = jnp.where(drow != 0, vert,
                           jnp.where(dcol != 0, horiz, STAY))
-            a = jnp.where(has[i], a, STAY)
-            act.append(a)
-            dr = jnp.where(a == UP, -1, jnp.where(a == DOWN, 1, 0))
-            dc = jnp.where(a == LEFT, -1, jnp.where(a == RIGHT, 1, 0))
-            pr = p_r[i] + dr
-            pc_ = p_c[i] + dc
-            mv = (a != STAY) & (pr >= 0) & (pr < H) & (pc_ >= 0) & (pc_ < W)
-            for wcell in cfg.walls:  # static unrolled wall checks (§1a)
-                mv = mv & ~((pr == wcell // W) & (pc_ == wcell % W))
-            prop_r.append(jnp.where(mv, pr, p_r[i]))
-            prop_c.append(jnp.where(mv, pc_, p_c[i]))
-            moving.append(mv)
+            act.append(jnp.where(has_i, a, STAY))
 
-        # rule 2: same target — lowest index wins.
-        for i in range(1, A):
-            lost = jnp.zeros_like(moving[i])
-            for j in range(i):
-                lost = lost | (
-                    moving[i] & moving[j]
-                    & (prop_r[i] == prop_r[j]) & (prop_c[i] == prop_c[j])
-                )
-            moving[i] = moving[i] & ~lost
-            prop_r[i] = jnp.where(moving[i], prop_r[i], p_r[i])
-            prop_c[i] = jnp.where(moving[i], prop_c[i], p_c[i])
-        # rule 3: swaps — both revert.
-        swap = [jnp.zeros_like(moving[i]) for i in range(A)]
-        for i in range(A):
-            for j in range(i + 1, A):
-                sw = (
-                    moving[i] & moving[j]
-                    & (prop_r[i] == p_r[j]) & (prop_c[i] == p_c[j])
-                    & (prop_r[j] == p_r[i]) & (prop_c[j] == p_c[i])
-                )
-                swap[i] = swap[i] | sw
-                swap[j] = swap[j] | sw
-        for i in range(A):
-            moving[i] = moving[i] & ~swap[i]
-            prop_r[i] = jnp.where(moving[i], prop_r[i], p_r[i])
-            prop_c[i] = jnp.where(moving[i], prop_c[i], p_c[i])
-        # rule 4: blocked-cell fixed point, A passes.
-        for _ in range(A):
-            for i in range(A):
-                b = jnp.zeros_like(moving[i])
-                for j in range(A):
-                    if j == i:
-                        continue
-                    b = b | (
-                        moving[i] & ~moving[j]
-                        & (prop_r[i] == prop_r[j])
-                        & (prop_c[i] == prop_c[j])
-                    )
-                # In-pass updates are fine: reverts only propagate.
-                moving[i] = moving[i] & ~b
-                prop_r[i] = jnp.where(moving[i], prop_r[i], p_r[i])
-                prop_c[i] = jnp.where(moving[i], prop_c[i], p_c[i])
-        collided = [(act[i] != STAY) & ~moving[i] for i in range(A)]
-        p_r, p_c = prop_r, prop_c
-
-        # ---- pickup (§5) ----------------------------------------------
-        picked = []
-        for i in range(A):
-            my_st = jnp.zeros_like(aq[i])
-            for r in range(R):
-                my_st = jnp.where(aq[i] == r, q_st[r], my_st)
-            pk = (
-                has[i] & (cy[i] == 0) & (my_st == PENDING)
-                & (p_r[i] == tpr_l[i]) & (p_c[i] == tpc_l[i])
-            )
-            picked.append(pk)
-            cy[i] = jnp.where(pk, 1, cy[i])
-        for r in range(R):
-            sp = jnp.zeros_like(picked[0])
-            for i in range(A):
-                sp = sp | (picked[i] & (aq[i] == r))
-            q_st[r] = jnp.where(sp, IN_TRANSIT, q_st[r])
-
-        # ---- delivery (§5) --------------------------------------------
-        delivered = []
-        for i in range(A):
-            dl = (
-                has[i] & (cy[i] != 0)
-                & (p_r[i] == tdr_l[i]) & (p_c[i] == tdc_l[i])
-            )
-            delivered.append(dl)
-        for r in range(R):
-            sd = jnp.zeros_like(delivered[0])
-            for i in range(A):
-                sd = sd | (delivered[i] & (aq[i] == r))
-            q_st[r] = jnp.where(sd, EMPTY, q_st[r])
-            q_ag[r] = jnp.where(sd, -1, q_ag[r])
-            q_pr[r] = jnp.where(sd, 0, q_pr[r])
-            q_pc[r] = jnp.where(sd, 0, q_pc[r])
-            q_dr[r] = jnp.where(sd, 0, q_dr[r])
-            q_dc[r] = jnp.where(sd, 0, q_dc[r])
-        for i in range(A):
-            aq[i] = jnp.where(delivered[i], -1, aq[i])
-            cy[i] = jnp.where(delivered[i], 0, cy[i])
-
-        # ---- spawn (§6): lowest-index EMPTY slot ----------------------
-        ok = u < cfg.spawn_prob
-        sp_r = spick // W
-        sp_c = spick % W
-        sd_r = sdrop // W
-        sd_c = sdrop % W
-        taken = jnp.zeros_like(ok)
-        for r in range(R):
-            w = ok & ~taken & (q_st[r] == EMPTY)
-            q_pr[r] = jnp.where(w, sp_r, q_pr[r])
-            q_pc[r] = jnp.where(w, sp_c, q_pc[r])
-            q_dr[r] = jnp.where(w, sd_r, q_dr[r])
-            q_dc[r] = jnp.where(w, sd_c, q_dc[r])
-            q_st[r] = jnp.where(w, PENDING, q_st[r])
-            q_ag[r] = jnp.where(w, -1, q_ag[r])
-            taken = taken | w
-
-        # ---- assignment (§7) ------------------------------------------
-        BIG = jnp.int32(1 << 30)
-        for i in range(A):
-            need = aq[i] < 0
-            best_d = jnp.full_like(q_st[0], BIG)
-            best_r = jnp.full_like(q_st[0], -1)
-            for r in range(R):
-                avail = (q_st[r] == PENDING) & (q_ag[r] < 0)
-                d = (jnp.abs(p_r[i] - q_pr[r])
-                     + jnp.abs(p_c[i] - q_pc[r]))
-                better = avail & (d < best_d)  # strict <: lowest r ties
-                best_d = jnp.where(better, d, best_d)
-                best_r = jnp.where(better, r, best_r)
-            take = need & (best_r >= 0)
-            aq[i] = jnp.where(take, best_r, aq[i])
-            for r in range(R):
-                q_ag[r] = jnp.where(take & (best_r == r), i, q_ag[r])
+        # ---- shared env dynamics (§4–§7) -------------------------------
+        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+         picked, delivered, collided) = env_tick(
+            cfg, p_r, p_c, aq, cy,
+            q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+            act, u, spick, sdrop)
 
         # ---- accounting (§8) ------------------------------------------
         n_pick = jnp.zeros_like(rew)
@@ -253,9 +289,8 @@ def _kernel(cfg: EnvConfig, T: int,
             + cfg.collision_penalty * n_col
         )
 
-        return (tuple(p_r), tuple(p_c), tuple(aq), tuple(cy),
-                tuple(q_pr), tuple(q_pc), tuple(q_dr), tuple(q_dc),
-                tuple(q_st), tuple(q_ag), deliv, rew)
+        return (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc,
+                q_st, q_ag, deliv, rew)
 
     out = jax.lax.fori_loop(0, T, step, state0)
     (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
