@@ -139,19 +139,19 @@ def bench_engine(jax, jnp):
     return B * T / best
 
 
-def bench_ppo(jax, jnp):
+def bench_ppo(jax, jnp, backend="pallas"):
     from warehouse_tpu.config import TrainConfig, medium_config
     from warehouse_tpu.train.ppo import make_train
 
     tcfg = TrainConfig(num_envs=4096, unroll_length=16,
-                       minibatch_mode="env")
+                       minibatch_mode="env", rollout_backend=backend)
     trainer = make_train(medium_config(), tcfg)
-    _progress("ppo: compiling train_many (config 4) …")
+    _progress(f"ppo[{backend}]: compiling train_many (config 4) …")
     rs = trainer.init(jax.random.PRNGKey(0))
     n = 10
     rs, m = trainer.train_many(rs, n)
     _ = float(m["loss"][-1])
-    _progress("ppo: timing …")
+    _progress(f"ppo[{backend}]: timing …")
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
@@ -180,7 +180,13 @@ def main() -> None:
             return None
 
     engine_sps = _try("engine", bench_engine)
-    ppo_sps = _try("ppo", bench_ppo)
+    # Trained path: the fused Pallas act-phase backend (pallas/act.py);
+    # falls back to the XLA scan backend if the kernel path fails.
+    ppo_backend = "pallas"
+    ppo_sps = _try("ppo", lambda j, n: bench_ppo(j, n, "pallas"))
+    if ppo_sps is None:
+        ppo_backend = "xla"
+        ppo_sps = _try("ppo", lambda j, n: bench_ppo(j, n, "xla"))
 
     n_chips = jax.device_count()
     per_chip = pallas_sps / n_chips
@@ -201,6 +207,7 @@ def main() -> None:
                 "ppo_trained_steps_per_s": (
                     round(ppo_sps) if ppo_sps else None
                 ),
+                "ppo_backend": ppo_backend if ppo_sps else None,
                 "ppo_vs_baseline": (
                     round(ppo_sps / PER_CHIP_TARGET, 3) if ppo_sps else None
                 ),

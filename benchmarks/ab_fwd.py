@@ -1,5 +1,9 @@
 """Isolate why the MLP forward costs ~2.6 ms at 262k samples.
 
+CAUTION — same LICM problem as ab_grad.py (loop-invariant scan body,
+XLA hoists the work; every variant here measured the ~25 ms readback
+floor / reps). Superseded by ab_update.py's floor-calibrated stages.
+
 ab_grad.py showed the grad step is forward-bound (fwd 2.59 ms of the
 3.39 ms grad step; the PPO loss chain is 0.08 ms) at ~6 TFLOP/s
 effective — far below MXU speed. Variants, interleaved:

@@ -1,5 +1,12 @@
 """Isolate the PPO grad step's internals at BASELINE config 4 scale.
 
+CAUTION — numbers from this probe are unreliable: the scan body
+computes the SAME grad every rep (no data dependence between reps), so
+XLA hoists the computation out of the loop (LICM) and the per-rep time
+collapses toward the host-readback floor. ab_update.py threads the env
+state through reps and calibrates the floor explicitly — use that.
+Kept for the variant definitions only.
+
 ab_fixed.py (post auto-reset gating) shows one epoch-equivalent grad
 step over 262k samples costs ~2.9 ms — with 4 epochs that is now the
 dominant term of the update. This probes, interleaved in one process:

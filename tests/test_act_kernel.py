@@ -1,0 +1,137 @@
+"""Fused act-phase kernel (pallas/act.py) vs the XLA path.
+
+Exactness contract (see the module docstring): env dynamics, obs,
+rewards, and the boundary reset are BIT-exact; logits/values agree to
+float accumulation order. All tests run the kernel in interpret mode on
+the CPU backend; the real-chip drive is the trainer A/B in
+benchmarks/ab_backend.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from warehouse_tpu.config import TrainConfig, small_config
+from warehouse_tpu.env import engine
+from warehouse_tpu.env.batch import (
+    reset_truncated_batch,
+    step_autoreset_batch,
+    step_batch,
+)
+from warehouse_tpu.models import make_model
+from warehouse_tpu.pallas.act import ppo_rollout_pallas
+
+B, T = 128, 4
+
+
+@pytest.fixture(scope="module")
+def rollout():
+    cfg = small_config().replace(max_steps=T)  # chunk end == episode end
+    key = jax.random.PRNGKey(0)
+    model = make_model(cfg)
+    params = model.init(key, jnp.zeros((1, cfg.obs_dim), jnp.float32))
+    env_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+    state, obs0 = jax.vmap(lambda k: engine.reset(cfg, k))(env_keys)
+    out = ppo_rollout_pallas(cfg, params, state, T, jax.random.PRNGKey(7),
+                             block=B, interpret=True)
+    return cfg, model, params, state, obs0, out
+
+
+def test_obs_and_dynamics_bit_exact(rollout):
+    """Kernel obs/rewards/final state == XLA engine replaying the
+    kernel's actions (cites the shared env_tick, pallas/rollout.py)."""
+    cfg, model, params, state, obs0, out = rollout
+    new_state, roll, reset_key_last, next_key = out
+    assert bool(jnp.all(roll.obs[0] == obs0))
+    s = state
+    for t in range(T):
+        s, ts = step_batch(cfg, s, roll.action[t])
+        assert bool(jnp.all(ts.reward == roll.reward[t])), f"t={t}"
+        assert bool(
+            jnp.all(ts.delivered.sum(-1) == roll.delivered[t])), f"t={t}"
+        if t + 1 < T:
+            assert bool(jnp.all(ts.obs == roll.obs[t + 1])), f"t={t}"
+    for f in ("agent_pos", "agent_req", "carrying", "req_pickup",
+              "req_drop", "req_status", "req_agent", "t", "key"):
+        assert bool(jnp.all(getattr(s, f) == getattr(new_state, f))), f
+    # max_steps == T: every env truncates exactly at the chunk end.
+    assert bool(jnp.all(roll.truncated[-1]))
+    assert not bool(jnp.any(roll.truncated[:-1]))
+
+
+def test_policy_head_matches_flax(rollout):
+    """Kernel logits/value/log-prob vs flax apply on the same obs —
+    equal up to f32 accumulation order; sampled actions equal to the
+    XLA sampler consuming the same gumbel stream."""
+    cfg, model, params, state, obs0, out = rollout
+    _, roll, _, _ = out
+    logits, value = model.apply(params, roll.obs.reshape(-1, cfg.obs_dim))
+    value = value.reshape(T, B, cfg.num_agents)
+    assert float(jnp.abs(value - roll.value).max()) < 1e-2
+
+    # Recreate the gumbel chain the wrapper feeds the kernel.
+    k = jax.random.PRNGKey(7)
+    logits = logits.reshape(T, B * cfg.num_agents, cfg.num_actions)
+    lp_all = jax.nn.log_softmax(logits, axis=-1)
+    for t in range(T):
+        k, ak = jax.random.split(k)
+        g = jax.random.gumbel(ak, (cfg.num_actions, B * cfg.num_agents))
+        act = jnp.argmax(logits[t].T + g, axis=0)
+        assert bool(jnp.all(
+            act.reshape(B, cfg.num_agents) == roll.action[t])), f"t={t}"
+        lp = jnp.take_along_axis(
+            lp_all[t], act[:, None], axis=-1)[:, 0]
+        assert float(jnp.abs(
+            lp.reshape(B, cfg.num_agents) - roll.log_prob[t]
+        ).max()) < 1e-4, f"t={t}"
+
+
+def test_boundary_reset_matches_autoreset_path(rollout):
+    """reset_truncated_batch(kernel output) == step_autoreset_batch
+    replaying the boundary step — draw-for-draw identical reset."""
+    cfg, model, params, state, obs0, out = rollout
+    new_state, roll, reset_key_last, _ = out
+    reset_state, reset_obs, done = reset_truncated_batch(
+        cfg, new_state, reset_key_last)
+    assert bool(jnp.all(done))
+
+    # XLA path: replay to the last step, then step_autoreset through it.
+    s = state
+    for t in range(T - 1):
+        s, _ = step_batch(cfg, s, roll.action[t])
+    s2, ts = step_autoreset_batch(cfg, s, roll.action[T - 1])
+    for f in ("agent_pos", "agent_req", "carrying", "req_pickup",
+              "req_drop", "req_status", "req_agent", "t", "key"):
+        assert bool(jnp.all(getattr(s2, f) == getattr(reset_state, f))), f
+    assert bool(jnp.all(ts.obs == reset_obs))
+
+
+@pytest.mark.slow
+def test_trainer_backend_equivalence():
+    """make_train(rollout_backend='pallas') vs 'xla': same seed, two
+    updates crossing an episode boundary — identical env states and
+    near-identical metrics (logit ulps only)."""
+    cfg = small_config().replace(max_steps=8)
+    base = TrainConfig(num_envs=B, unroll_length=4, num_updates=2,
+                       num_minibatches=2, minibatch_mode="env")
+    trx = make_train_cached(cfg, base)
+    trp = make_train_cached(
+        cfg, base.replace(rollout_backend="pallas", pallas_block=B,
+                          pallas_interpret=True))
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(2):
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
+    assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
+    assert bool(jnp.all(rsx.env_state.t == rsp.env_state.t))
+
+
+def make_train_cached(cfg, tcfg):
+    from warehouse_tpu.train.ppo import make_train
+
+    return make_train(cfg, tcfg)

@@ -28,12 +28,25 @@ def sample_action(key: jax.Array, logits: jax.Array):
     """Categorical sample + its log-prob from (already masked) logits.
 
     Returns ``(action int32[...], log_prob float32[...])``.
+
+    TPU layout note: the gumbel noise, argmax, and log-softmax all run
+    on the ``[n_act, N]`` transpose so every elementwise op fills all
+    128 vector lanes (same discipline as ``action_log_prob_entropy``);
+    in the natural ``[..., 5]`` layout only 5 of 128 lanes are live.
+    The explicit-gumbel form also pins the draw stream: the fused
+    act-phase kernel (pallas/act.py) precomputes ``gumbel(key,
+    [n_act, N])`` and consumes the identical values, so both backends
+    sample the same action whenever their logits argmax-agree.
     """
-    action = jax.random.categorical(key, logits)
-    log_prob = jnp.take_along_axis(
-        jax.nn.log_softmax(logits), action[..., None], axis=-1
-    ).squeeze(-1)
-    return action, log_prob
+    n_act = logits.shape[-1]
+    lt = logits.reshape(-1, n_act).T                    # [n_act, N]
+    g = jax.random.gumbel(key, lt.shape, lt.dtype)
+    action = jnp.argmax(lt + g, axis=0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(lt, axis=0)
+    onehot = jax.nn.one_hot(action, n_act, dtype=logp.dtype).T
+    lp = (logp * onehot).sum(0)
+    shape = logits.shape[:-1]
+    return action.reshape(shape), lp.reshape(shape)
 
 
 def ppo_losses(

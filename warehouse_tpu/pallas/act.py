@@ -1,0 +1,443 @@
+"""Fused PPO act-phase Pallas kernel: policy rollout with the NN inside.
+
+The trained path's rollout (obs construction -> MLP forward -> categorical
+sample -> env tick, scanned over T) was ~6 ms of the ~15 ms BASELINE
+config-4 update even after the cond-gated auto-reset (docs/RESULTS.md).
+This kernel runs the ENTIRE T-step acting phase for a block of envs in
+VMEM, batch-minor like the greedy kernel (pallas/rollout.py):
+
+- observations are built in-kernel as [obs_dim, B] rows with the same
+  comparison-based channels as ``ops/obs.py`` (bit-exact f32),
+- the MLP forward runs on the MXU in-kernel ([H, D] @ [D, B] per agent;
+  the weights live in VMEM for all T steps),
+- actions are sampled from precomputed gumbel noise ([5, B] rows — all
+  128 lanes live) with the same first-max tie rule as ``jnp.argmax``,
+- env dynamics are the shared ``env_tick`` (pallas/rollout.py), the
+  exact sub-step sequence of ``engine.step`` (docs/SEMANTICS.md §4-§8).
+
+Exactness contract: env dynamics, obs values, rewards, and the gumbel
+stream are bit-exact vs the XLA path; the MLP logits/values differ by
+float accumulation order (MXU pass structure vs XLA's), so sampled
+trajectories are distributionally identical but not bit-identical —
+tests/test_act_kernel.py checks obs/dynamics exactly and logits/values
+to tolerance, and the trainer A/B checks the learning curve.
+
+Restrictions (the trainer gates on these — train/ppo.py fast path):
+feed-forward MLP policy, shared across agents, ego-window obs, no action
+masking/shaping in-kernel, and ``T`` must not cross an episode boundary
+mid-chunk (``max_steps % T == 0`` with synchronized ``state.t`` — every
+trainer init satisfies this); the boundary auto-reset runs OUTSIDE via
+the same cond-gated reset as the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EnvConfig
+from ..env.state import EnvState
+from .. import rng as _rng
+from .rollout import env_tick
+
+PENDING = 1
+OBS_SLOT = -1  # set per-call: obs rows padded up to a multiple of 8
+
+
+def _pad8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
+              q_pr, q_pc, q_dr, q_dc, q_st):
+    """Agent ``i``'s observation as a list of [1, B] f32 rows in the
+    exact spec order of ``ops/obs.py`` ([S, S, 4] channel-last ravel then
+    the 6 self features, docs/SEMANTICS.md §10). Bit-exact: the same
+    boolean compares and the same explicit-reciprocal normalization."""
+    import numpy as _np
+
+    A, R, H, W = (cfg.num_agents, cfg.queue_capacity, cfg.height,
+                  cfg.width)
+    S, k = cfg.window_size, cfg.obs_radius
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    def f32(b):
+        return jnp.where(b, one, zero)
+
+    # My target (§10): one-hot read of my request, drop-vs-pickup select.
+    has_i = aq[i] >= 0
+    tpr = jnp.zeros_like(p_r[i])
+    tpc = jnp.zeros_like(p_r[i])
+    tdr = jnp.zeros_like(p_r[i])
+    tdc = jnp.zeros_like(p_r[i])
+    for r in range(R):
+        m = aq[i] == r
+        tpr = jnp.where(m, q_pr[r], tpr)
+        tpc = jnp.where(m, q_pc[r], tpc)
+        tdr = jnp.where(m, q_dr[r], tdr)
+        tdc = jnp.where(m, q_dc[r], tdc)
+    carrying = cy[i] != 0
+    tgt_r = jnp.where(carrying, tdr, tpr)
+    tgt_c = jnp.where(carrying, tdc, tpc)
+    tgt_r = jnp.where(has_i, tgt_r, p_r[i])
+    tgt_c = jnp.where(has_i, tgt_c, p_c[i])
+
+    rows = []
+    for w in range(S * S):
+        dr = w // S - k
+        dc = w % S - k
+        wr = p_r[i] + dr
+        wc = p_c[i] + dc
+        # ch0: any agent on the cell.
+        ch0 = jnp.zeros_like(has_i)
+        for j in range(A):
+            ch0 = ch0 | ((wr == p_r[j]) & (wc == p_c[j]))
+        # ch1: pending pickup on the cell.
+        ch1 = jnp.zeros_like(has_i)
+        for r in range(R):
+            ch1 = ch1 | (
+                (wr == q_pr[r]) & (wc == q_pc[r]) & (q_st[r] == PENDING)
+            )
+        # ch2: own target on the cell.
+        ch2 = (wr == tgt_r) & (wc == tgt_c) & has_i
+        # ch3: inside the grid and not a wall (§1a).
+        ch3 = (wr >= 0) & (wr < H) & (wc >= 0) & (wc < W)
+        for wcell in cfg.walls:
+            ch3 = ch3 & ~((wr == wcell // W) & (wc == wcell % W))
+        rows.extend([f32(ch0), f32(ch1), f32(ch2), f32(ch3)])
+
+    inv_h = float(_np.float32(1.0) / _np.float32(H))
+    inv_w = float(_np.float32(1.0) / _np.float32(W))
+    delta_r = jnp.where(has_i, tgt_r - p_r[i], 0)
+    delta_c = jnp.where(has_i, tgt_c - p_c[i], 0)
+    rows.extend([
+        p_r[i].astype(jnp.float32) * inv_h,
+        p_c[i].astype(jnp.float32) * inv_w,
+        f32(carrying),
+        f32(has_i),
+        delta_r.astype(jnp.float32) * inv_h,
+        delta_c.astype(jnp.float32) * inv_w,
+    ])
+    return rows
+
+
+def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int,
+                *refs):
+    """Kernel body. ``refs`` order: state rows (10 in), u/pick/drop,
+    gumbel, weights (2 per hidden layer + heads w/b), then outputs:
+    state rows (10 out), obs, talp."""
+    A, R = cfg.num_agents, cfg.queue_capacity
+    D = cfg.obs_dim
+    Dp = _pad8(D)
+
+    it = iter(refs)
+    pos_r, pos_c, areq, carry = next(it), next(it), next(it), next(it)
+    rp_r, rp_c, rd_r, rd_c = next(it), next(it), next(it), next(it)
+    rstat, ragent = next(it), next(it)
+    u_ref, pick_ref, drop_ref, g_ref = (next(it), next(it), next(it),
+                                        next(it))
+    wbs = [(next(it), next(it)) for _ in range(n_hidden)]
+    wh_ref, bh_ref = next(it), next(it)
+    (o_pos_r, o_pos_c, o_areq, o_carry, o_rp_r, o_rp_c, o_rd_r, o_rd_c,
+     o_rstat, o_ragent) = (next(it) for _ in range(10))
+    o_obs, o_talp = next(it), next(it)
+
+    def rows(ref, n):
+        return tuple(ref[i:i + 1, :] for i in range(n))
+
+    state0 = (
+        rows(pos_r, A), rows(pos_c, A), rows(areq, A), rows(carry, A),
+        rows(rp_r, R), rows(rp_c, R), rows(rd_r, R), rows(rd_c, R),
+        rows(rstat, R), rows(ragent, R),
+    )
+
+    def step(t, s):
+        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag) = s
+
+        u = u_ref[pl.ds(t, 1), :]
+        spick = pick_ref[pl.ds(t, 1), :]
+        sdrop = drop_ref[pl.ds(t, 1), :]
+
+        act = []
+        for i in range(A):
+            obs_rows = _obs_rows(cfg, i, p_r, p_c, aq, cy,
+                                 q_pr, q_pc, q_dr, q_dc, q_st)
+            if Dp > D:
+                pad = jnp.zeros_like(obs_rows[0])
+                obs_rows = obs_rows + [pad] * (Dp - D)
+            x = jnp.concatenate(obs_rows, axis=0)         # [Dp, B]
+            o_obs[pl.ds((t * A + i) * Dp, Dp), :] = x
+
+            # MLP forward on the MXU: weights are pre-transposed [out, in].
+            h = x[:D, :]
+            for w_ref, b_ref in wbs:
+                h = jnp.tanh(
+                    jax.lax.dot_general(
+                        w_ref[:, :], h,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + b_ref[:, :]
+                )
+            out = jax.lax.dot_general(
+                wh_ref[:, :], h,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bh_ref[:, :]                              # [6(+pad), B]
+
+            # Lane-dense categorical sample: argmax(logits + gumbel),
+            # first-max tie rule (same as jnp.argmax / the XLA path).
+            g = g_ref[pl.ds((t * A + i) * 8, 5), :]        # [5, B]
+            logit = [out[r:r + 1, :] for r in range(5)]
+            z = [logit[r] + g[r:r + 1, :] for r in range(5)]
+            best = z[0]
+            best_a = jnp.zeros_like(u, dtype=jnp.int32) * 0
+            best_a = jnp.full_like(best_a, 0)
+            for r in range(1, 5):
+                m = z[r] > best
+                best = jnp.where(m, z[r], best)
+                best_a = jnp.where(m, r, best_a)
+            act.append(best_a)
+
+            # log pi(a|s): stable log-softmax over the 5 logit rows.
+            mx = logit[0]
+            for r in range(1, 5):
+                mx = jnp.maximum(mx, logit[r])
+            ssum = jnp.zeros_like(mx)
+            for r in range(5):
+                ssum = ssum + jnp.exp(logit[r] - mx)
+            lse = jnp.log(ssum)
+            lp = jnp.zeros_like(mx)
+            for r in range(5):
+                lp = lp + jnp.where(
+                    best_a == r, logit[r] - mx - lse, 0.0
+                )
+
+            value = out[5:6, :]
+            # talp slot rows: 0 action, 1 log-prob, 2 value, 3 reward
+            # (filled below), 4 delivered, 5-7 zero.
+            base = (t * A + i) * 8
+            o_talp[pl.ds(base, 1), :] = best_a.astype(jnp.float32)
+            o_talp[pl.ds(base + 1, 1), :] = lp
+            o_talp[pl.ds(base + 2, 1), :] = value
+
+        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+         picked, delivered, collided) = env_tick(
+            cfg, p_r, p_c, aq, cy,
+            q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+            act, u, spick, sdrop)
+
+        for i in range(A):
+            rew = (
+                cfg.step_penalty
+                + cfg.pickup_reward * picked[i].astype(jnp.float32)
+                + cfg.delivery_reward * delivered[i].astype(jnp.float32)
+                + cfg.collision_penalty * collided[i].astype(jnp.float32)
+            )
+            base = (t * A + i) * 8
+            o_talp[pl.ds(base + 3, 1), :] = rew
+            o_talp[pl.ds(base + 4, 1), :] = (
+                delivered[i].astype(jnp.float32)
+            )
+
+        return (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag)
+
+    out = jax.lax.fori_loop(0, T, step, state0)
+    (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag) = out
+    o_pos_r[:] = jnp.concatenate(p_r, axis=0)
+    o_pos_c[:] = jnp.concatenate(p_c, axis=0)
+    o_areq[:] = jnp.concatenate(aq, axis=0)
+    o_carry[:] = jnp.concatenate(cy, axis=0)
+    o_rp_r[:] = jnp.concatenate(q_pr, axis=0)
+    o_rp_c[:] = jnp.concatenate(q_pc, axis=0)
+    o_rd_r[:] = jnp.concatenate(q_dr, axis=0)
+    o_rd_c[:] = jnp.concatenate(q_dc, axis=0)
+    o_rstat[:] = jnp.concatenate(q_st, axis=0)
+    o_ragent[:] = jnp.concatenate(q_ag, axis=0)
+
+
+class ActRollout(NamedTuple):
+    """T-step trained-rollout trajectory, env-major like the XLA path."""
+    obs: jax.Array        # float32[T, B, A, obs_dim]
+    action: jax.Array     # int32[T, B, A]
+    log_prob: jax.Array   # float32[T, B, A]
+    value: jax.Array      # float32[T, B, A]
+    reward: jax.Array     # float32[T, B, A]
+    delivered: jax.Array  # int32[T, B] per-env delivery counts
+    truncated: jax.Array  # bool[T, B]
+
+
+def extract_mlp_weights(params) -> tuple:
+    """(hidden (w,b) list, heads (wh, bh)) from ActorCriticMLP params,
+    pre-transposed [out, in] for the kernel's W @ X matmuls; the logits
+    and value heads are fused into one [6, H] matrix (rows 0-4 logits,
+    row 5 value)."""
+    dense = params["params"]
+    names = sorted(dense.keys(), key=lambda s: int(s.split("_")[1]))
+    mats = [(jnp.transpose(dense[n]["kernel"]).astype(jnp.float32),
+             dense[n]["bias"].astype(jnp.float32)[:, None])
+            for n in names]
+    *hidden, (wl, bl), (wv, bv) = mats
+    wh = jnp.concatenate([wl, wv], axis=0)        # [6, H]
+    bh = jnp.concatenate([bl, bv], axis=0)        # [6, 1]
+    # Pad the head rows to a sublane multiple.
+    pad = _pad8(wh.shape[0]) - wh.shape[0]
+    if pad:
+        wh = jnp.pad(wh, ((0, pad), (0, 0)))
+        bh = jnp.pad(bh, ((0, pad), (0, 0)))
+    return hidden, (wh, bh)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 5, 6))
+def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
+                       key: jax.Array, block: int = 512,
+                       interpret: bool = False):
+    """Run the T-step trained acting phase via the fused kernel.
+
+    Returns ``(new EnvState, ActRollout, reset_key_last uint32[B, 2])``
+    — ``reset_key_last`` is the draw the boundary auto-reset must
+    consume (same stream as ``env/batch.py step_autoreset_batch``).
+    The caller owns the boundary reset and the next-chunk obs.
+    """
+    if cfg.auto_reset:
+        raise ValueError("act kernel: auto_reset is handled by the caller")
+    if cfg.global_obs:
+        raise ValueError("act kernel supports ego-window obs only")
+    B = state.agent_pos.shape[0]
+    if B % block:
+        raise ValueError(f"batch {B} must divide into block {block}")
+    A, R, D = cfg.num_agents, cfg.queue_capacity, cfg.obs_dim
+    Dp = _pad8(D)
+
+    hidden, (wh, bh) = extract_mlp_weights(params)
+    n_hidden = len(hidden)
+
+    # Canonical env draw stream [T, B] (identical to the XLA path).
+    def draws_scan(keys, _):
+        d = jax.vmap(lambda k: _rng.step_draws(k, cfg))(keys)
+        return d.next_key, (d.spawn_u, d.spawn_pick, d.spawn_drop,
+                            d.reset_key)
+
+    final_keys, (u, pick, drop, reset_keys) = jax.lax.scan(
+        draws_scan, state.key, None, length=T
+    )
+
+    # Gumbel stream, same values the XLA sampler draws: per step,
+    # key, akey = split(key); g_t = gumbel(akey, [5, B*A]) consumed as
+    # the [5, N] transpose of [B, A, 5] logits (ops/ppo_update.py).
+    def gumbel_scan(k, _):
+        k, ak = jax.random.split(k)
+        return k, jax.random.gumbel(ak, (5, B * A), jnp.float32)
+
+    next_key, g = jax.lax.scan(gumbel_scan, key, None, length=T)
+    # [T, 5, B, A] -> [T, A, 5, B] -> padded rows [T*A*8, B].
+    g = g.reshape(T, 5, B, A).transpose(0, 3, 1, 2)
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, 3), (0, 0)))
+    g = g.reshape(T * A * 8, B)
+
+    def bm(x):  # [B, K] -> [K, B] int32
+        return jnp.transpose(x).astype(jnp.int32)
+
+    ins = [
+        bm(state.agent_pos[:, :, 0]), bm(state.agent_pos[:, :, 1]),
+        bm(state.agent_req), bm(state.carrying.astype(jnp.int32)),
+        bm(state.req_pickup[:, :, 0]), bm(state.req_pickup[:, :, 1]),
+        bm(state.req_drop[:, :, 0]), bm(state.req_drop[:, :, 1]),
+        bm(state.req_status), bm(state.req_agent),
+        u.astype(jnp.float32), pick.astype(jnp.int32),
+        drop.astype(jnp.int32), g,
+    ]
+    for w, b in hidden:
+        ins.extend([w, b])
+    ins.extend([wh, bh])
+
+    def bspec(rows_):
+        return pl.BlockSpec((rows_, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bspec(A), bspec(A), bspec(A), bspec(A),
+        bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
+        bspec(T), bspec(T), bspec(T), bspec(T * A * 8),
+    ]
+    for w, b in hidden:
+        in_specs.extend([wspec(w.shape), wspec(b.shape)])
+    in_specs.extend([wspec(wh.shape), wspec(bh.shape)])
+
+    out_specs = [
+        bspec(A), bspec(A), bspec(A), bspec(A),
+        bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
+        bspec(T * A * Dp), bspec(T * A * 8),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((A, B), jnp.int32) for _ in range(4)
+    ] + [
+        jax.ShapeDtypeStruct((R, B), jnp.int32) for _ in range(6)
+    ] + [
+        jax.ShapeDtypeStruct((T * A * Dp, B), jnp.float32),
+        jax.ShapeDtypeStruct((T * A * 8, B), jnp.float32),
+    ]
+
+    # The obs trajectory output block ([T*A*Dp, block] f32) dominates
+    # VMEM; size the scoped-vmem budget to the actual block footprint
+    # (default limit is 16M — a T=16 x block=512 call needs ~33M).
+    vmem_bytes = 4 * block * 2 * (            # 2x: grid double-buffering
+        T * A * Dp + T * A * 8                # obs + talp output blocks
+        + 10 * (A + R)                        # state rows in+out
+        + T * (3 + A * 8)                     # draws + gumbel
+    ) + 12 * 1024 * 1024                      # weights + compiler stack
+    outs = pl.pallas_call(
+        partial(_act_kernel, cfg, T, n_hidden),
+        grid=(B // block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 100 * 1024 * 1024),
+        ),
+    )(*ins)
+
+    (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+     obs_rows, talp) = outs
+
+    def mb(x):  # [K, B] -> [B, K]
+        return jnp.transpose(x)
+
+    new_state = EnvState(
+        agent_pos=jnp.stack([mb(p_r), mb(p_c)], axis=-1),
+        agent_req=mb(aq),
+        carrying=mb(cy).astype(bool),
+        req_pickup=jnp.stack([mb(q_pr), mb(q_pc)], axis=-1),
+        req_drop=jnp.stack([mb(q_dr), mb(q_dc)], axis=-1),
+        req_status=mb(q_st),
+        req_agent=mb(q_ag),
+        t=state.t + T,
+        key=final_keys,
+    )
+
+    obs = obs_rows.reshape(T, A, Dp, B)[:, :, :D, :]
+    obs = obs.transpose(0, 3, 1, 2)                   # [T, B, A, D]
+    talp = talp.reshape(T, A, 8, B).transpose(0, 3, 1, 2)  # [T, B, A, 8]
+    action = talp[..., 0].astype(jnp.int32)
+    log_prob = talp[..., 1]
+    value = talp[..., 2]
+    reward = talp[..., 3]
+    delivered = talp[..., 4].astype(jnp.int32).sum(-1)     # [T, B]
+    steps = state.t[None, :] + 1 + jnp.arange(T, dtype=state.t.dtype)[:, None]
+    truncated = steps >= cfg.max_steps                     # [T, B]
+
+    roll = ActRollout(obs=obs, action=action, log_prob=log_prob,
+                      value=value, reward=reward, delivered=delivered,
+                      truncated=truncated)
+    return new_state, roll, reset_keys[-1], next_key

@@ -32,10 +32,14 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import EnvConfig, TrainConfig
 from ..env import engine
-from ..env.batch import step_autoreset_batch
+from ..env.batch import (
+    observe_batch,
+    reset_truncated_batch,
+    step_autoreset_batch,
+)
 from ..models import make_model
 from ..ops.move import valid_action_mask
-from ..ops.ppo_update import action_log_prob_entropy
+from ..ops.ppo_update import action_log_prob_entropy, sample_action
 from ..ops.vtrace import vtrace
 from ..parallel.mesh import DATA_AXIS
 
@@ -92,6 +96,31 @@ def make_train_impala(
             "axis, keeping T intact)"
         )
 
+    if tcfg.rollout_backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"rollout_backend must be 'xla' or 'pallas', got "
+            f"{tcfg.rollout_backend!r}")
+    use_pallas = tcfg.rollout_backend == "pallas"
+    if use_pallas:
+        problems = []
+        if arch != "mlp":
+            problems.append(f"arch={arch!r}")
+        if tcfg.model_dtype != "float32":
+            problems.append("model_dtype")
+        if env_cfg.global_obs:
+            problems.append("global_obs")
+        if tcfg.mask_actions:
+            problems.append("mask_actions")
+        if env_cfg.max_steps % tcfg.unroll_length:
+            problems.append("max_steps % unroll_length != 0")
+        if b_local % tcfg.pallas_block:
+            problems.append(
+                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
+        if problems:
+            raise ValueError(
+                "rollout_backend='pallas' unsupported with: "
+                + ", ".join(problems))
+
     if tcfg.anneal_lr:
         total_steps = (
             tcfg.num_updates * tcfg.impala_passes * tcfg.num_minibatches
@@ -135,40 +164,68 @@ def make_train_impala(
         params = rs.params
         key = rs.key.reshape(2)
 
-        def env_step(carry, _):
-            env_state, obs, key = carry
-            key, akey = jax.random.split(key)
-            logits, _ = model.apply(params, obs)
-            if tcfg.mask_actions:
-                mask = jax.vmap(
-                    lambda p: valid_action_mask(env_cfg, p)
-                )(env_state.agent_pos)
-                logits = jnp.where(mask, logits, -1e9)
-            else:
-                mask = jnp.ones(logits.shape, bool)
-            action = jax.random.categorical(akey, logits)  # [B, A]
-            log_prob = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[..., None], axis=-1
-            ).squeeze(-1)
-            env_state, ts = step_autoreset_batch(
-                env_cfg, env_state, action.astype(jnp.int32)
-            )
-            done = jnp.broadcast_to(
-                ts.truncated[:, None], ts.reward.shape
-            )  # [B, A]
-            if tcfg.bootstrap_truncated:
-                _, boot_value = model.apply(params, ts.final_obs)
-            else:
-                boot_value = jnp.zeros_like(ts.reward)
-            tr = ImpalaTransition(obs, action, log_prob, ts.reward,
-                                  done, mask, boot_value)
-            return (env_state, ts.obs, key), (tr, ts.delivered,
-                                              ts.reward.mean())
+        if use_pallas:
+            # Fused act-phase kernel (pallas/act.py) — same integration
+            # as train/ppo.py: boundary auto-reset outside, bit-exact
+            # draw stream (see env/batch.py reset_truncated_batch).
+            from ..pallas.act import ppo_rollout_pallas
 
-        (env_state, last_obs, key), (traj, delivered, raw_rew) = jax.lax.scan(
-            env_step, (rs.env_state, rs.obs, key), None,
-            length=tcfg.unroll_length,
-        )
+            cfg_noar = env_cfg.replace(auto_reset=False)
+            new_env_state, roll, reset_key_last, key = ppo_rollout_pallas(
+                cfg_noar, params, rs.env_state, tcfg.unroll_length, key,
+                tcfg.pallas_block, tcfg.pallas_interpret)
+            env_state, last_obs, _ = reset_truncated_batch(
+                cfg_noar, new_env_state, reset_key_last)
+            done = jnp.broadcast_to(
+                roll.truncated[:, :, None], roll.reward.shape)
+            mask = jnp.ones(
+                (*roll.action.shape, env_cfg.num_actions), bool)
+            if tcfg.bootstrap_truncated:
+                _, boot_last = model.apply(
+                    params, observe_batch(cfg_noar, new_env_state))
+                boot_value = (
+                    jnp.zeros_like(roll.reward).at[-1].set(boot_last))
+            else:
+                boot_value = jnp.zeros_like(roll.reward)
+            traj = ImpalaTransition(roll.obs, roll.action, roll.log_prob,
+                                    roll.reward, done, mask, boot_value)
+            delivered = roll.delivered
+            raw_rew = roll.reward.mean(axis=(1, 2))
+        else:
+            def env_step(carry, _):
+                env_state, obs, key = carry
+                key, akey = jax.random.split(key)
+                logits, _ = model.apply(params, obs)
+                if tcfg.mask_actions:
+                    mask = jax.vmap(
+                        lambda p: valid_action_mask(env_cfg, p)
+                    )(env_state.agent_pos)
+                    logits = jnp.where(mask, logits, -1e9)
+                else:
+                    mask = jnp.ones(logits.shape, bool)
+                # Lane-dense sampler (ops/ppo_update.py) — same gumbel
+                # stream the act kernel consumes.
+                action, log_prob = sample_action(akey, logits)  # [B, A]
+                env_state, ts = step_autoreset_batch(
+                    env_cfg, env_state, action.astype(jnp.int32)
+                )
+                done = jnp.broadcast_to(
+                    ts.truncated[:, None], ts.reward.shape
+                )  # [B, A]
+                if tcfg.bootstrap_truncated:
+                    _, boot_value = model.apply(params, ts.final_obs)
+                else:
+                    boot_value = jnp.zeros_like(ts.reward)
+                tr = ImpalaTransition(obs, action, log_prob, ts.reward,
+                                      done, mask, boot_value)
+                return (env_state, ts.obs, key), (tr, ts.delivered,
+                                                  ts.reward.mean())
+
+            (env_state, last_obs, key), (traj, delivered, raw_rew) = (
+                jax.lax.scan(
+                    env_step, (rs.env_state, rs.obs, key), None,
+                    length=tcfg.unroll_length,
+                ))
 
         def loss_fn(params, mb, last_obs_mb):
             # mb leaves are [T, Bmb, A, ...]; the V-trace scan runs on T.

@@ -26,7 +26,11 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import EnvConfig, TrainConfig
 from ..env import engine
-from ..env.batch import step_autoreset_batch
+from ..env.batch import (
+    observe_batch,
+    reset_truncated_batch,
+    step_autoreset_batch,
+)
 from ..models import make_model
 from ..ops.gae import gae
 from ..ops.move import valid_action_mask
@@ -125,6 +129,37 @@ def make_train(
             f"minibatch_mode='env' needs B_local={b_local} divisible by "
             f"num_minibatches={tcfg.num_minibatches}")
 
+    if tcfg.rollout_backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"rollout_backend must be 'xla' or 'pallas', got "
+            f"{tcfg.rollout_backend!r}")
+    use_pallas = tcfg.rollout_backend == "pallas"
+    if use_pallas:
+        # The fused act-phase kernel's envelope (pallas/act.py): fail
+        # loudly rather than silently fall back.
+        problems = []
+        if policy_groups is not None:
+            problems.append("policy_groups")
+        if arch != "mlp":
+            problems.append(f"arch={arch!r}")
+        if tcfg.model_dtype != "float32":
+            problems.append("model_dtype")
+        if env_cfg.global_obs:
+            problems.append("global_obs")
+        if tcfg.mask_actions:
+            problems.append("mask_actions")
+        if tcfg.shaping_coef != 0.0:
+            problems.append("shaping_coef")
+        if env_cfg.max_steps % tcfg.unroll_length:
+            problems.append("max_steps % unroll_length != 0")
+        if b_local % tcfg.pallas_block:
+            problems.append(
+                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
+        if problems:
+            raise ValueError(
+                "rollout_backend='pallas' unsupported with: "
+                + ", ".join(problems))
+
     if tcfg.anneal_lr:
         total_steps = (
             tcfg.num_updates * tcfg.ppo_epochs * tcfg.num_minibatches
@@ -176,6 +211,43 @@ def make_train(
             groups_arr[None, :], (b_local, env_cfg.num_agents)
         )
 
+        if use_pallas:
+            # Fused act-phase kernel: the whole T-step rollout (obs
+            # build, MXU MLP forward, gumbel sampling, env tick) is one
+            # Mosaic kernel with state resident in VMEM; the episode
+            # boundary auto-reset runs outside, draw-for-draw identical
+            # to step_autoreset_batch (env/batch.py).
+            from ..pallas.act import ppo_rollout_pallas
+
+            cfg_noar = env_cfg.replace(auto_reset=False)
+            new_env_state, roll, reset_key_last, key = ppo_rollout_pallas(
+                cfg_noar, params, rs.env_state, tcfg.unroll_length, key,
+                tcfg.pallas_block, tcfg.pallas_interpret)
+            env_state, last_obs, _ = reset_truncated_batch(
+                cfg_noar, new_env_state, reset_key_last)
+            done = jnp.broadcast_to(
+                roll.truncated[:, :, None], roll.reward.shape)
+            mask = jnp.ones(
+                (*roll.action.shape, env_cfg.num_actions), bool)
+            if tcfg.bootstrap_truncated:
+                # V of the TRUE (pre-reset) boundary state; done is only
+                # ever True on the chunk's last step (make_train gates
+                # max_steps % unroll == 0), so one row suffices.
+                _, boot_last = apply_model(
+                    params, observe_batch(cfg_noar, new_env_state),
+                    gids_ba)
+                boot_value = (
+                    jnp.zeros_like(roll.value).at[-1].set(boot_last))
+            else:
+                boot_value = jnp.zeros_like(roll.value)
+            traj = Transition(roll.obs, roll.action, roll.log_prob,
+                              roll.value, roll.reward, done, mask,
+                              boot_value)
+            delivered = roll.delivered
+            raw_rew = roll.reward.mean(axis=(1, 2))
+            return _learn(rs, params, key, env_state, last_obs, traj,
+                          delivered, raw_rew)
+
         def env_step(carry, _):
             env_state, obs, key = carry
             key, akey = jax.random.split(key)
@@ -222,7 +294,15 @@ def make_train(
             env_step, (rs.env_state, rs.obs, key), None,
             length=tcfg.unroll_length,
         )
+        return _learn(rs, params, key, env_state, last_obs, traj,
+                      delivered, raw_rew)
 
+    # ---------------------------------------------- learn phase (shared)
+    def _learn(rs, params, key, env_state, last_obs, traj, delivered,
+               raw_rew):
+        gids_ba = jnp.broadcast_to(
+            groups_arr[None, :], (b_local, env_cfg.num_agents)
+        )
         _, last_value = apply_model(params, last_obs, gids_ba)
         advantages, targets = gae(
             traj.reward, traj.value, traj.done, last_value,
