@@ -135,3 +135,46 @@ def make_train_cached(cfg, tcfg):
     from warehouse_tpu.train.ppo import make_train
 
     return make_train(cfg, tcfg)
+
+
+def test_pallas_gate_raises_loudly():
+    """Outside the kernel envelope the trainer must refuse, not silently
+    fall back (train/ppo.py make_train gating)."""
+    cfg = small_config().replace(max_steps=8)
+    base = TrainConfig(num_envs=B, unroll_length=4,
+                       rollout_backend="pallas", pallas_block=B)
+    for bad in (
+        base.replace(mask_actions=True),
+        base.replace(shaping_coef=0.1),
+        base.replace(model_dtype="bfloat16"),
+        base.replace(unroll_length=3),     # 8 % 3 != 0
+        base.replace(pallas_block=B + 8),  # B % block != 0
+    ):
+        with pytest.raises(ValueError, match="pallas"):
+            make_train_cached(cfg, bad)
+    with pytest.raises(ValueError, match="rollout_backend"):
+        make_train_cached(cfg, base.replace(rollout_backend="bogus"))
+
+
+@pytest.mark.slow
+def test_impala_backend_equivalence():
+    """IMPALA through the act kernel vs its XLA scan — same seed, two
+    updates crossing an episode boundary."""
+    from warehouse_tpu.train.impala import make_train_impala
+
+    cfg = small_config().replace(max_steps=8)
+    base = TrainConfig(num_envs=B, unroll_length=4, num_updates=2,
+                       num_minibatches=2)
+    trx = make_train_impala(cfg, base)
+    trp = make_train_impala(
+        cfg, base.replace(rollout_backend="pallas", pallas_block=B,
+                          pallas_interpret=True))
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(2):
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
+    assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
+    assert bool(jnp.all(rsx.env_state.t == rsp.env_state.t))
