@@ -34,6 +34,8 @@ def main() -> None:
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--only", type=str, default="",
+                   help="comma-separated stage subset (NULL always runs)")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -133,6 +135,10 @@ def main() -> None:
                               clip_eps=0.2, value_coef=0.5, ent_coef=0.01,
                               kl_coeff=0.0)
 
+        micro = 1
+        if variant.startswith("MICRO"):
+            micro = int(variant[5:])
+
         def sgd(carry, k):
             prm, ost = carry
 
@@ -148,8 +154,27 @@ def main() -> None:
 
                 def mb_update(c2, mb):
                     prm, ost = c2
-                    (loss, _), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True)(prm, mb)
+                    if micro == 1:
+                        (loss, _), grads = jax.value_and_grad(
+                            loss_fn, has_aux=True)(prm, mb)
+                    else:
+                        # Gradient accumulation: same gradient as the
+                        # full minibatch (mean of equal-size micro
+                        # grads), run at the faster small-batch regime.
+                        micros = jax.tree.map(
+                            lambda x: x.reshape(
+                                micro, x.shape[0] // micro,
+                                *x.shape[1:]), mb)
+
+                        def acc(g, mi):
+                            (loss, _), gr = jax.value_and_grad(
+                                loss_fn, has_aux=True)(prm, mi)
+                            return jax.tree.map(jnp.add, g, gr), loss
+
+                        zero = jax.tree.map(jnp.zeros_like, prm)
+                        grads, losses = jax.lax.scan(acc, zero, micros)
+                        grads = jax.tree.map(lambda g: g / micro, grads)
+                        loss = losses.mean()
                     upd, ost = tx.update(grads, ost, prm)
                     prm = optax.apply_updates(prm, upd)
                     return (prm, ost), loss
@@ -171,7 +196,10 @@ def main() -> None:
         return run
 
     names = ["NULL", "FULL", "NOPERM", "REMAT", "BF16", "BF16REMAT",
-             "NOTANH", "MB1"]
+             "NOTANH", "MB1", "MICRO2", "MICRO4", "MICRO8"]
+    if args.only:
+        keep = set(args.only.split(","))
+        names = [n for n in names if n in keep or n == "NULL"]
 
     @jax.jit
     def null(k):

@@ -436,3 +436,30 @@ def test_flat_optimizer_runs_and_updates_params():
     assert np.isfinite(float(np.asarray(pm["loss"]).sum()))
     # set_lr path through the flattened chain state still reads back.
     np.testing.assert_allclose(np.asarray(get_lr(ms)), [1e-3, 3e-4])
+
+
+def test_micro_batches_match_full_minibatch_grad():
+    """micro_batches=K averages K micro grads into ONE optimizer step —
+    the same SGD trajectory as micro_batches=1 up to f32 summation
+    order (TrainConfig.micro_batches; adv normalization hoisted to
+    per-minibatch via ppo_losses' normalize_adv=False path)."""
+    import jax
+    import jax.numpy as jnp
+
+    t1 = make_tiny_trainer()
+    t4 = make_tiny_trainer(micro_batches=4)
+    r1 = t1.init(jax.random.PRNGKey(3))
+    r4 = t4.init(jax.random.PRNGKey(3))
+    for _ in range(2):
+        r1, m1 = t1.train_step(r1)
+        r4, m4 = t4.train_step(r4)
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for k in m1:
+        assert abs(float(m1[k]) - float(m4[k])) < 1e-4, k
+
+
+def test_micro_batches_divisibility_raises():
+    with pytest.raises(ValueError, match="micro_batches"):
+        make_tiny_trainer(micro_batches=7)

@@ -200,6 +200,14 @@ class TrainConfig:
     # curve-equivalent on config 4 (docs/RESULTS.md) and ~35% faster
     # end-to-end.
     minibatch_mode: str = "flat"
+    # Split each minibatch gradient into K equal micro-batch grads,
+    # averaged before ONE optimizer step — the same SGD trajectory up
+    # to f32 summation order (advantage normalization is hoisted to
+    # per-minibatch). TPU: per-sample grad cost rises sharply past
+    # ~100k-sample batches (measured 2.3x from 65k to 262k samples at
+    # BASELINE config 4, benchmarks/ab_sgd.py), so micro-batching buys
+    # the fast small-batch regime at big global batches. 1 = off.
+    micro_batches: int = 1
     # Bootstrap value targets through time-limit truncations (RLlib's
     # behavior): at a truncation boundary GAE/V-trace use V of the TRUE
     # final state (the engine's TimeStep.final_obs) as the next-state

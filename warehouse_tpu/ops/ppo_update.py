@@ -62,6 +62,9 @@ def ppo_losses(
     value_coef: float,
     ent_coef,               # float or traced scalar (anneal / PBT member)
     kl_coeff,               # float or traced scalar (adaptive KL state)
+    normalize_adv: bool = True,  # False: advantages arrive pre-normalized
+    #                              (micro-batch mode normalizes once per
+    #                              minibatch so micro grads sum exactly)
 ):
     """Clipped-surrogate PPO loss with clipped value loss, entropy bonus
     and RLlib-style KL penalty (zero-cost when ``kl_coeff == 0``).
@@ -79,7 +82,11 @@ def ppo_losses(
     """
     lp, entropy = action_log_prob_entropy(logits, action)
     ratio = jnp.exp(lp - old_log_prob)
-    adv_n = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+    if normalize_adv:
+        adv_n = (advantages - advantages.mean()) / (
+            advantages.std() + 1e-8)
+    else:
+        adv_n = advantages
     pg1 = ratio * adv_n
     pg2 = jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv_n
     pg_loss = -jnp.minimum(pg1, pg2).mean()
@@ -157,6 +164,7 @@ def minibatch_epochs(
     num_epochs: int,
     tx: optax.GradientTransformation,
     pmean_axis: str | None = None,
+    micro_batches: int = 1,
 ):
     """The PPO epoch/minibatch SGD scaffold as two nested ``lax.scan``s.
 
@@ -165,6 +173,16 @@ def minibatch_epochs(
     ``shard_map``) syncs grads/metrics across data shards. Returns
     ``(params, opt_state, key, losses)`` with losses stacked
     ``[num_epochs, M, 1 + len(aux)]``-style (tuple of arrays).
+
+    ``micro_batches > 1`` splits each minibatch's gradient into K
+    equal-size micro-batch grads, averaged before ONE optimizer step —
+    the same gradient up to f32 summation order (TPU: per-sample cost
+    rises sharply with batch size past ~100k samples — measured 2.3x
+    from 65k to 262k at BASELINE config 4 — so micro-batching buys the
+    small-batch regime without changing the SGD trajectory). The caller
+    must make its loss micro-size-invariant: means only, and advantage
+    normalization hoisted to per-minibatch (``ppo_losses``'s
+    ``normalize_adv=False`` path).
     """
 
     def epoch(carry, _):
@@ -174,9 +192,31 @@ def minibatch_epochs(
 
         def mb_update(c, mb):
             params, opt_state = c
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, mb)
+            if micro_batches == 1:
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, mb)
+            else:
+                micros = jax.tree.map(
+                    lambda x: x.reshape(
+                        micro_batches, x.shape[0] // micro_batches,
+                        *x.shape[1:]),
+                    mb,
+                )
+
+                def acc(g, mi):
+                    (loss, aux), gr = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, mi)
+                    return jax.tree.map(jnp.add, g, gr), (loss, aux)
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                grads, (losses_k, aux_k) = jax.lax.scan(
+                    acc, zero, micros)
+                grads = jax.tree.map(
+                    lambda g: g / micro_batches, grads)
+                loss = losses_k.mean()
+                aux = jax.tree.map(lambda a: a.mean(), aux_k)
             if pmean_axis is not None:
                 grads = jax.lax.pmean(grads, pmean_axis)
                 loss = jax.lax.pmean(loss, pmean_axis)

@@ -128,6 +128,11 @@ def make_train(
         raise ValueError(
             f"minibatch_mode='env' needs B_local={b_local} divisible by "
             f"num_minibatches={tcfg.num_minibatches}")
+    mb_samples = batch_per_shard // tcfg.num_minibatches
+    if tcfg.micro_batches < 1 or mb_samples % tcfg.micro_batches:
+        raise ValueError(
+            f"micro_batches={tcfg.micro_batches} must divide the "
+            f"minibatch sample count {mb_samples}")
 
     if tcfg.rollout_backend not in ("xla", "pallas"):
         raise ValueError(
@@ -353,6 +358,20 @@ def make_train(
 
         ent_coef = entropy_coef_at(tcfg, rs.update_idx)
 
+        if tcfg.micro_batches > 1:
+            # Hoist advantage normalization to per-minibatch so micro
+            # grads average to exactly the minibatch grad (see
+            # TrainConfig.micro_batches / minibatch_epochs).
+            inner_minibatches = make_minibatches
+
+            def make_minibatches(k):  # noqa: F811
+                mbs = inner_minibatches(k)
+                adv = mbs[4]
+                ax = tuple(range(1, adv.ndim))
+                mean = adv.mean(axis=ax, keepdims=True)
+                std = adv.std(axis=ax, keepdims=True)
+                return (*mbs[:4], (adv - mean) / (std + 1e-8), *mbs[5:])
+
         def loss_fn(params, mb):
             obs, action, old_lp, old_v, adv, tgt, gids, mask = mb
             logits, value = apply_model(params, obs, gids)
@@ -362,6 +381,7 @@ def make_train(
                 logits, value, action, old_lp, old_v, adv, tgt,
                 clip_eps=tcfg.clip_eps, value_coef=tcfg.value_coef,
                 ent_coef=ent_coef, kl_coeff=rs.kl_coeff,
+                normalize_adv=tcfg.micro_batches == 1,
             )
 
         params, opt_state, key, losses = minibatch_epochs(
@@ -371,6 +391,7 @@ def make_train(
             num_epochs=tcfg.ppo_epochs,
             tx=tx,
             pmean_axis=DATA_AXIS if mesh is not None else None,
+            micro_batches=tcfg.micro_batches,
         )
 
         mean_kl = losses[4].mean()
