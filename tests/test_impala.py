@@ -179,3 +179,29 @@ def test_meshed_train_step_runs():
     # Params stay replicated across shards after the pmean'd update.
     p0 = jax.tree.leaves(rs.params)[0]
     assert p0.sharding.is_fully_replicated
+
+
+def test_impala_micro_batches_match():
+    """Env-axis micro-grad accumulation == the full minibatch grad
+    (exact for V-trace; TrainConfig.micro_batches)."""
+    import jax
+    import numpy as np
+
+    from warehouse_tpu import TrainConfig, small_config
+    from warehouse_tpu.train.impala import make_train_impala
+
+    cfg = small_config(max_steps=16)
+    base = TrainConfig(num_envs=16, unroll_length=4, num_minibatches=2,
+                       hidden_dim=32)
+    t1 = make_train_impala(cfg, base)
+    t4 = make_train_impala(cfg, base.replace(micro_batches=4))
+    r1 = t1.init(jax.random.PRNGKey(3))
+    r4 = t4.init(jax.random.PRNGKey(3))
+    for _ in range(2):
+        r1, m1 = t1.train_step(r1)
+        r4, m4 = t4.train_step(r4)
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for k in m1:
+        assert abs(float(m1[k]) - float(m4[k])) < 1e-4, k

@@ -95,6 +95,11 @@ def make_train_impala(
             f"{tcfg.num_minibatches} (IMPALA minibatches split the env "
             "axis, keeping T intact)"
         )
+    mb_envs_chk = b_local // tcfg.num_minibatches
+    if tcfg.micro_batches < 1 or mb_envs_chk % tcfg.micro_batches:
+        raise ValueError(
+            f"micro_batches={tcfg.micro_batches} must divide the "
+            f"per-minibatch env count {mb_envs_chk}")
 
     if tcfg.rollout_backend not in ("xla", "pallas"):
         raise ValueError(
@@ -276,9 +281,40 @@ def make_train_impala(
             def mb_update(carry, mb_and_last):
                 params, opt_state = carry
                 mb, last_obs_mb = mb_and_last
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, mb, last_obs_mb)
+                if tcfg.micro_batches == 1:
+                    (loss, aux), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, mb, last_obs_mb)
+                else:
+                    # Gradient accumulation over env-axis micro chunks —
+                    # EXACT for V-trace (the trace runs per env along T;
+                    # no cross-env normalization): mean of equal-size
+                    # micro grads == the minibatch grad, f32 order aside
+                    # (TrainConfig.micro_batches).
+                    k = tcfg.micro_batches
+                    micros = jax.tree.map(
+                        lambda x: x.reshape(
+                            x.shape[0], k, x.shape[1] // k, *x.shape[2:]
+                        ).swapaxes(0, 1),
+                        mb,
+                    )  # leaves [k, T, mb_envs/k, A, ...]
+                    last_micros = last_obs_mb.reshape(
+                        k, last_obs_mb.shape[0] // k,
+                        *last_obs_mb.shape[1:])
+
+                    def acc(g, ml):
+                        mi, lo = ml
+                        (loss, aux), gr = jax.value_and_grad(
+                            loss_fn, has_aux=True)(params, mi, lo)
+                        return (jax.tree.map(jnp.add, g, gr),
+                                (loss, aux))
+
+                    zero = jax.tree.map(jnp.zeros_like, params)
+                    grads, (losses_k, aux_k) = jax.lax.scan(
+                        acc, zero, (micros, last_micros))
+                    grads = jax.tree.map(lambda g: g / k, grads)
+                    loss = losses_k.mean()
+                    aux = jax.tree.map(lambda a: a.mean(), aux_k)
                 if mesh is not None:
                     grads = jax.lax.pmean(grads, DATA_AXIS)
                     loss = jax.lax.pmean(loss, DATA_AXIS)
