@@ -247,6 +247,15 @@ class TrainConfig:
     rollout_backend: str = "xla"
     pallas_block: int = 512       # envs per kernel block (VMEM residency)
     pallas_interpret: bool = False  # CI: run the kernel in interpret mode
+    # SGD-phase backend ("xla" | "pallas"). "pallas" computes each
+    # minibatch's clipped-PPO loss + gradient in one fused Mosaic kernel
+    # (warehouse_tpu/pallas/grad.py): forward on the MXU with
+    # activations VMEM-resident, hand-derived backward, cross-block
+    # grad accumulation — obs read from HBM exactly once per grad step.
+    # Matches jax.value_and_grad to f32 accumulation order
+    # (tests/test_grad_kernel.py). Same envelope as the act kernel
+    # (mlp, float32, no masking, shared policy).
+    grad_backend: str = "xla"
     # Infra
     seed: int = 0
     checkpoint_every: int = 50

@@ -165,6 +165,7 @@ def minibatch_epochs(
     tx: optax.GradientTransformation,
     pmean_axis: str | None = None,
     micro_batches: int = 1,
+    value_and_grad_fn: Callable | None = None,
 ):
     """The PPO epoch/minibatch SGD scaffold as two nested ``lax.scan``s.
 
@@ -173,6 +174,11 @@ def minibatch_epochs(
     ``shard_map``) syncs grads/metrics across data shards. Returns
     ``(params, opt_state, key, losses)`` with losses stacked
     ``[num_epochs, M, 1 + len(aux)]``-style (tuple of arrays).
+
+    ``value_and_grad_fn`` overrides ``jax.value_and_grad(loss_fn)`` —
+    the hook the fused Pallas grad kernel uses
+    (``TrainConfig.grad_backend="pallas"``); same
+    ``(params, mb) -> ((loss, aux), grads)`` contract.
 
     ``micro_batches > 1`` splits each minibatch's gradient into K
     equal-size micro-batch grads, averaged before ONE optimizer step —
@@ -185,6 +191,8 @@ def minibatch_epochs(
     ``normalize_adv=False`` path).
     """
 
+    vg = value_and_grad_fn or jax.value_and_grad(loss_fn, has_aux=True)
+
     def epoch(carry, _):
         params, opt_state, key = carry
         key, pkey = jax.random.split(key)
@@ -193,9 +201,7 @@ def minibatch_epochs(
         def mb_update(c, mb):
             params, opt_state = c
             if micro_batches == 1:
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, mb)
+                (loss, aux), grads = vg(params, mb)
             else:
                 micros = jax.tree.map(
                     lambda x: x.reshape(
@@ -205,9 +211,7 @@ def minibatch_epochs(
                 )
 
                 def acc(g, mi):
-                    (loss, aux), gr = jax.value_and_grad(
-                        loss_fn, has_aux=True
-                    )(params, mi)
+                    (loss, aux), gr = vg(params, mi)
                     return jax.tree.map(jnp.add, g, gr), (loss, aux)
 
                 zero = jax.tree.map(jnp.zeros_like, params)

@@ -165,6 +165,26 @@ def make_train(
                 "rollout_backend='pallas' unsupported with: "
                 + ", ".join(problems))
 
+    if tcfg.grad_backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"grad_backend must be 'xla' or 'pallas', got "
+            f"{tcfg.grad_backend!r}")
+    use_grad_pallas = tcfg.grad_backend == "pallas"
+    if use_grad_pallas:
+        problems = []
+        if policy_groups is not None:
+            problems.append("policy_groups")
+        if arch != "mlp":
+            problems.append(f"arch={arch!r}")
+        if tcfg.model_dtype != "float32":
+            problems.append("model_dtype")
+        if tcfg.mask_actions:
+            problems.append("mask_actions")
+        if problems:
+            raise ValueError(
+                "grad_backend='pallas' unsupported with: "
+                + ", ".join(problems))
+
     if tcfg.anneal_lr:
         total_steps = (
             tcfg.num_updates * tcfg.ppo_epochs * tcfg.num_minibatches
@@ -358,7 +378,7 @@ def make_train(
 
         ent_coef = entropy_coef_at(tcfg, rs.update_idx)
 
-        if tcfg.micro_batches > 1:
+        if tcfg.micro_batches > 1 or use_grad_pallas:
             # Hoist advantage normalization to per-minibatch so micro
             # grads average to exactly the minibatch grad (see
             # TrainConfig.micro_batches / minibatch_epochs).
@@ -381,8 +401,28 @@ def make_train(
                 logits, value, action, old_lp, old_v, adv, tgt,
                 clip_eps=tcfg.clip_eps, value_coef=tcfg.value_coef,
                 ent_coef=ent_coef, kl_coeff=rs.kl_coeff,
-                normalize_adv=tcfg.micro_batches == 1,
+                normalize_adv=(
+                    tcfg.micro_batches == 1 and not use_grad_pallas),
             )
+
+        vg_fn = None
+        if use_grad_pallas:
+            # Fused loss+backward kernel (pallas/grad.py): same
+            # (params, mb) -> ((loss, aux), grads) contract as
+            # jax.value_and_grad(loss_fn).
+            from ..pallas.grad import ppo_value_and_grad_pallas
+
+            def vg_fn(prm, mb):
+                obs, action, old_lp, old_v, adv, tgt, gids, mask = mb
+                return ppo_value_and_grad_pallas(
+                    prm, obs.reshape(-1, env_cfg.obs_dim),
+                    action.reshape(-1), old_lp.reshape(-1),
+                    old_v.reshape(-1), adv.reshape(-1),
+                    tgt.reshape(-1),
+                    ent_coef=ent_coef, kl_coeff=rs.kl_coeff,
+                    clip_eps=tcfg.clip_eps,
+                    value_coef=tcfg.value_coef,
+                    interpret=tcfg.pallas_interpret)
 
         params, opt_state, key, losses = minibatch_epochs(
             params, rs.opt_state, key,
@@ -392,6 +432,7 @@ def make_train(
             tx=tx,
             pmean_axis=DATA_AXIS if mesh is not None else None,
             micro_batches=tcfg.micro_batches,
+            value_and_grad_fn=vg_fn,
         )
 
         mean_kl = losses[4].mean()
