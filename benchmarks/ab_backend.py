@@ -43,6 +43,15 @@ def main() -> None:
         "pallas": base.replace(rollout_backend="pallas",
                                pallas_block=args.block),
         "xla_bf16": base.replace(model_dtype="bfloat16"),
+        "grad": base.replace(grad_backend="pallas"),
+        "both": base.replace(rollout_backend="pallas",
+                             pallas_block=args.block,
+                             grad_backend="pallas"),
+        "both_micro4": base.replace(rollout_backend="pallas",
+                                    pallas_block=args.block,
+                                    grad_backend="pallas",
+                                    micro_batches=4),
+        "micro4": base.replace(micro_batches=4),
     }
     if args.only:
         names = args.only.split(",")

@@ -178,3 +178,53 @@ def test_impala_backend_equivalence():
             assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
     assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
     assert bool(jnp.all(rsx.env_state.t == rsp.env_state.t))
+
+
+def test_rnn_kernel_matches_flax():
+    """GRU act kernel: obs/dynamics bit-exact, values/carry match flax
+    to f32 tolerance (pallas/act.py ppo_rnn_rollout_pallas)."""
+    from warehouse_tpu.pallas.act import ppo_rnn_rollout_pallas
+
+    cfg = small_config().replace(max_steps=T)
+    key = jax.random.PRNGKey(0)
+    model = make_model(cfg, arch="gru", hidden_dim=32, num_layers=2)
+    carry0 = model.initial_carry((B, cfg.num_agents))
+    params = model.init(key, jnp.zeros((1, cfg.obs_dim)),
+                        model.initial_carry((1,)))
+    env_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+    state, obs0 = jax.vmap(lambda k: engine.reset(cfg, k))(env_keys)
+
+    new_state, roll, rk, nk, new_carry = ppo_rnn_rollout_pallas(
+        cfg, params, state, carry0, T, jax.random.PRNGKey(7), B, True)
+    assert bool(jnp.all(roll.obs[0] == obs0))
+    s, h = state, carry0
+    for t in range(T):
+        logits, value, h = model.apply(params, roll.obs[t], h)
+        assert float(jnp.abs(value - roll.value[t]).max()) < 1e-4
+        s, ts = step_batch(cfg, s, roll.action[t])
+        assert bool(jnp.all(ts.reward == roll.reward[t])), t
+    assert float(jnp.abs(h - new_carry).max()) < 1e-5
+    assert bool(jnp.all(s.agent_pos == new_state.agent_pos))
+
+
+@pytest.mark.slow
+def test_rnn_trainer_backend_equivalence():
+    """make_train_rnn(rollout_backend='pallas') vs 'xla' across an
+    episode boundary: same metrics, identical env states."""
+    from warehouse_tpu.train.ppo_rnn import make_train_rnn
+
+    cfg = small_config().replace(max_steps=8)
+    base = TrainConfig(num_envs=B, unroll_length=4, num_updates=2,
+                       num_minibatches=2, hidden_dim=32)
+    trx = make_train_rnn(cfg, base)
+    trp = make_train_rnn(
+        cfg, base.replace(rollout_backend="pallas", pallas_block=B,
+                          pallas_interpret=True))
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(2):
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
+    assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))

@@ -262,6 +262,330 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int,
     o_ragent[:] = jnp.concatenate(q_ag, axis=0)
 
 
+def _sample_logprob(out, g):
+    """(action i32[1, B], log-prob f32[1, B]) from logits rows
+    ``out[0:5]`` and gumbel rows ``g[5, B]`` — argmax(logits + gumbel)
+    with the first-max tie rule, then a stable log-softmax select."""
+    logit = [out[r:r + 1, :] for r in range(5)]
+    z = [logit[r] + g[r:r + 1, :] for r in range(5)]
+    best = z[0]
+    best_a = jnp.zeros_like(z[0], dtype=jnp.int32)
+    for r in range(1, 5):
+        m = z[r] > best
+        best = jnp.where(m, z[r], best)
+        best_a = jnp.where(m, r, best_a)
+    mx = logit[0]
+    for r in range(1, 5):
+        mx = jnp.maximum(mx, logit[r])
+    ssum = jnp.zeros_like(mx)
+    for r in range(5):
+        ssum = ssum + jnp.exp(logit[r] - mx)
+    lse = jnp.log(ssum)
+    lp = jnp.zeros_like(mx)
+    for r in range(5):
+        lp = lp + jnp.where(best_a == r, logit[r] - mx - lse, 0.0)
+    return best_a, lp
+
+
+def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int, *refs):
+    """Recurrent act kernel: encoder MLP -> GRU cell -> heads, carry
+    rows [A*H, B] threaded through the T-step loop. The flax GRUCell
+    math exactly (models/policy.py ActorCriticRNN):
+    r = sig(Wir x + bir + Whr h); z = sig(Wiz x + biz + Whz h);
+    n = tanh(Win x + bin + r*(Whn h + bhn)); h' = (1-z)*n + z*h.
+    Carry reset at episode boundaries happens OUTSIDE (the envelope
+    gates truncation to the chunk's last step)."""
+    A, R = cfg.num_agents, cfg.queue_capacity
+    D = cfg.obs_dim
+    Dp = _pad8(D)
+
+    it = iter(refs)
+    pos_r, pos_c, areq, carr = next(it), next(it), next(it), next(it)
+    rp_r, rp_c, rd_r, rd_c = next(it), next(it), next(it), next(it)
+    rstat, ragent = next(it), next(it)
+    h_ref = next(it)                                  # [A*H, B]
+    u_ref, pick_ref, drop_ref, g_ref = (next(it), next(it), next(it),
+                                        next(it))
+    enc = [(next(it), next(it)) for _ in range(n_enc)]
+    (wir, bir, whr, wiz, biz, whz, win, bin_, whn, bhn) = (
+        next(it) for _ in range(10))
+    wh_ref, bh_ref = next(it), next(it)
+    (o_pos_r, o_pos_c, o_areq, o_carry, o_rp_r, o_rp_c, o_rd_r, o_rd_c,
+     o_rstat, o_ragent) = (next(it) for _ in range(10))
+    o_h, o_obs, o_talp = next(it), next(it), next(it)
+
+    def rows(ref, n):
+        return tuple(ref[i:i + 1, :] for i in range(n))
+
+    def dot(w_ref, x):
+        return jax.lax.dot_general(
+            w_ref[...], x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    state0 = (
+        rows(pos_r, A), rows(pos_c, A), rows(areq, A), rows(carr, A),
+        rows(rp_r, R), rows(rp_c, R), rows(rd_r, R), rows(rd_c, R),
+        rows(rstat, R), rows(ragent, R),
+        tuple(h_ref[i * H:(i + 1) * H, :] for i in range(A)),
+    )
+
+    def step(t, s):
+        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag, hs) = s
+        hs = list(hs)
+
+        u = u_ref[pl.ds(t, 1), :]
+        spick = pick_ref[pl.ds(t, 1), :]
+        sdrop = drop_ref[pl.ds(t, 1), :]
+
+        act = []
+        for i in range(A):
+            obs_rows = _obs_rows(cfg, i, p_r, p_c, aq, cy,
+                                 q_pr, q_pc, q_dr, q_dc, q_st)
+            if Dp > D:
+                pad = jnp.zeros_like(obs_rows[0])
+                obs_rows = obs_rows + [pad] * (Dp - D)
+            x = jnp.concatenate(obs_rows, axis=0)
+            o_obs[pl.ds((t * A + i) * Dp, Dp), :] = x
+
+            e = x[:D, :]
+            for w_ref, b_ref in enc:
+                e = jnp.tanh(dot(w_ref, e) + b_ref[...])
+            h = hs[i]
+            r = jax.nn.sigmoid(dot(wir, e) + bir[...] + dot(whr, h))
+            zg = jax.nn.sigmoid(dot(wiz, e) + biz[...] + dot(whz, h))
+            n = jnp.tanh(dot(win, e) + bin_[...]
+                         + r * (dot(whn, h) + bhn[...]))
+            h = (1.0 - zg) * n + zg * h
+            hs[i] = h
+
+            out = dot(wh_ref, h) + bh_ref[...]        # [8, B]
+            g = g_ref[pl.ds((t * A + i) * 8, 5), :]
+            best_a, lp = _sample_logprob(out, g)
+            act.append(best_a)
+            base = (t * A + i) * 8
+            o_talp[pl.ds(base, 1), :] = best_a.astype(jnp.float32)
+            o_talp[pl.ds(base + 1, 1), :] = lp
+            o_talp[pl.ds(base + 2, 1), :] = out[5:6, :]
+
+        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+         picked, delivered, collided) = env_tick(
+            cfg, p_r, p_c, aq, cy,
+            q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+            act, u, spick, sdrop)
+
+        for i in range(A):
+            rew = (
+                cfg.step_penalty
+                + cfg.pickup_reward * picked[i].astype(jnp.float32)
+                + cfg.delivery_reward * delivered[i].astype(jnp.float32)
+                + cfg.collision_penalty * collided[i].astype(jnp.float32)
+            )
+            base = (t * A + i) * 8
+            o_talp[pl.ds(base + 3, 1), :] = rew
+            o_talp[pl.ds(base + 4, 1), :] = (
+                delivered[i].astype(jnp.float32))
+
+        return (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+                tuple(hs))
+
+    out = jax.lax.fori_loop(0, T, step, state0)
+    (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag, hs) = out
+    o_pos_r[:] = jnp.concatenate(p_r, axis=0)
+    o_pos_c[:] = jnp.concatenate(p_c, axis=0)
+    o_areq[:] = jnp.concatenate(aq, axis=0)
+    o_carry[:] = jnp.concatenate(cy, axis=0)
+    o_rp_r[:] = jnp.concatenate(q_pr, axis=0)
+    o_rp_c[:] = jnp.concatenate(q_pc, axis=0)
+    o_rd_r[:] = jnp.concatenate(q_dr, axis=0)
+    o_rd_c[:] = jnp.concatenate(q_dc, axis=0)
+    o_rstat[:] = jnp.concatenate(q_st, axis=0)
+    o_ragent[:] = jnp.concatenate(q_ag, axis=0)
+    o_h[:] = jnp.concatenate(hs, axis=0)
+
+
+def extract_rnn_weights(params):
+    """(enc (w,b) list, gru mats tuple, heads (wh, bh)) from
+    ActorCriticRNN/GRU params, pre-transposed [out, in]."""
+    dense = params["params"]
+    enc_names = sorted(
+        (n for n in dense if n.startswith("Dense_")),
+        key=lambda s: int(s.split("_")[1]))
+    gru = dense["GRUCell_0"]
+    # Dense heads come AFTER the cell in call order: the last two
+    # Dense_* are logits and value; the ones before are the encoder.
+    *enc_n, logit_n, value_n = enc_names
+    enc = [(jnp.transpose(dense[n]["kernel"]).astype(jnp.float32),
+            dense[n]["bias"].astype(jnp.float32)[:, None])
+           for n in enc_n]
+
+    def tw(sub):
+        return jnp.transpose(gru[sub]["kernel"]).astype(jnp.float32)
+
+    def tb(sub):
+        return gru[sub]["bias"].astype(jnp.float32)[:, None]
+
+    gmats = (tw("ir"), tb("ir"), tw("hr"), tw("iz"), tb("iz"), tw("hz"),
+             tw("in"), tb("in"), tw("hn"), tb("hn"))
+    wl = jnp.transpose(dense[logit_n]["kernel"]).astype(jnp.float32)
+    bl = dense[logit_n]["bias"].astype(jnp.float32)[:, None]
+    wv = jnp.transpose(dense[value_n]["kernel"]).astype(jnp.float32)
+    bv = dense[value_n]["bias"].astype(jnp.float32)[:, None]
+    wh = jnp.concatenate([wl, wv], axis=0)
+    bh = jnp.concatenate([bl, bv], axis=0)
+    pad = _pad8(wh.shape[0]) - wh.shape[0]
+    if pad:
+        wh = jnp.pad(wh, ((0, pad), (0, 0)))
+        bh = jnp.pad(bh, ((0, pad), (0, 0)))
+    return enc, gmats, (wh, bh)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 6, 7))
+def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
+                           carry, T: int, key: jax.Array,
+                           block: int = 512, interpret: bool = False):
+    """Recurrent (GRU) trained rollout via the fused kernel.
+
+    ``carry``: float32[B, A, H] GRU hidden state. Returns
+    ``(new EnvState, ActRollout, reset_key_last, next_key, new_carry)``
+    with ``new_carry`` NOT reset at boundaries — the caller zeroes it
+    where the chunk truncated (matching the per-step semantics, since
+    the envelope restricts truncation to the chunk's last step).
+    """
+    if cfg.auto_reset:
+        raise ValueError("act kernel: auto_reset is handled by the caller")
+    if cfg.global_obs:
+        raise ValueError("act kernel supports ego-window obs only")
+    B = state.agent_pos.shape[0]
+    if B % block:
+        raise ValueError(f"batch {B} must divide into block {block}")
+    A, R, D = cfg.num_agents, cfg.queue_capacity, cfg.obs_dim
+    Dp = _pad8(D)
+    H = carry.shape[-1]
+
+    enc, gmats, (wh, bh) = extract_rnn_weights(params)
+    n_enc = len(enc)
+
+    def draws_scan(keys, _):
+        d = jax.vmap(lambda k: _rng.step_draws(k, cfg))(keys)
+        return d.next_key, (d.spawn_u, d.spawn_pick, d.spawn_drop,
+                            d.reset_key)
+
+    final_keys, (u, pick, drop, reset_keys) = jax.lax.scan(
+        draws_scan, state.key, None, length=T
+    )
+
+    def gumbel_scan(k, _):
+        k, ak = jax.random.split(k)
+        return k, jax.random.gumbel(ak, (5, B * A), jnp.float32)
+
+    next_key, g = jax.lax.scan(gumbel_scan, key, None, length=T)
+    g = g.reshape(T, 5, B, A).transpose(0, 3, 1, 2)
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, 3), (0, 0)))
+    g = g.reshape(T * A * 8, B)
+
+    def bm(x):
+        return jnp.transpose(x).astype(jnp.int32)
+
+    h_rows = carry.astype(jnp.float32).transpose(1, 2, 0).reshape(
+        A * H, B)
+
+    ins = [
+        bm(state.agent_pos[:, :, 0]), bm(state.agent_pos[:, :, 1]),
+        bm(state.agent_req), bm(state.carrying.astype(jnp.int32)),
+        bm(state.req_pickup[:, :, 0]), bm(state.req_pickup[:, :, 1]),
+        bm(state.req_drop[:, :, 0]), bm(state.req_drop[:, :, 1]),
+        bm(state.req_status), bm(state.req_agent),
+        h_rows,
+        u.astype(jnp.float32), pick.astype(jnp.int32),
+        drop.astype(jnp.int32), g,
+    ]
+    for w, b in enc:
+        ins.extend([w, b])
+    ins.extend(gmats)
+    ins.extend([wh, bh])
+
+    def bspec(rows_):
+        return pl.BlockSpec((rows_, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bspec(A), bspec(A), bspec(A), bspec(A),
+        bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
+        bspec(A * H),
+        bspec(T), bspec(T), bspec(T), bspec(T * A * 8),
+    ]
+    for w, b in enc:
+        in_specs.extend([wspec(w.shape), wspec(b.shape)])
+    for m in gmats:
+        in_specs.append(wspec(m.shape))
+    in_specs.extend([wspec(wh.shape), wspec(bh.shape)])
+
+    out_specs = [
+        bspec(A), bspec(A), bspec(A), bspec(A),
+        bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
+        bspec(A * H), bspec(T * A * Dp), bspec(T * A * 8),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((A, B), jnp.int32) for _ in range(4)
+    ] + [
+        jax.ShapeDtypeStruct((R, B), jnp.int32) for _ in range(6)
+    ] + [
+        jax.ShapeDtypeStruct((A * H, B), jnp.float32),
+        jax.ShapeDtypeStruct((T * A * Dp, B), jnp.float32),
+        jax.ShapeDtypeStruct((T * A * 8, B), jnp.float32),
+    ]
+
+    vmem_bytes = 4 * block * 2 * (
+        T * A * Dp + T * A * 8 + 10 * (A + R) + 2 * A * H
+        + T * (3 + A * 8)
+    ) + 12 * 1024 * 1024
+    outs = pl.pallas_call(
+        partial(_act_rnn_kernel, cfg, T, n_enc, H),
+        grid=(B // block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 100 * 1024 * 1024),
+        ),
+    )(*ins)
+
+    (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+     h_out, obs_rows, talp) = outs
+
+    def mb(x):
+        return jnp.transpose(x)
+
+    new_state = EnvState(
+        agent_pos=jnp.stack([mb(p_r), mb(p_c)], axis=-1),
+        agent_req=mb(aq),
+        carrying=mb(cy).astype(bool),
+        req_pickup=jnp.stack([mb(q_pr), mb(q_pc)], axis=-1),
+        req_drop=jnp.stack([mb(q_dr), mb(q_dc)], axis=-1),
+        req_status=mb(q_st),
+        req_agent=mb(q_ag),
+        t=state.t + T,
+        key=final_keys,
+    )
+    new_carry = h_out.reshape(A, H, B).transpose(2, 0, 1)  # [B, A, H]
+
+    obs = obs_rows.reshape(T, A, Dp, B)[:, :, :D, :]
+    obs = obs.transpose(0, 3, 1, 2)
+    talp = talp.reshape(T, A, 8, B).transpose(0, 3, 1, 2)
+    action = talp[..., 0].astype(jnp.int32)
+    steps = state.t[None, :] + 1 + jnp.arange(T, dtype=state.t.dtype)[:, None]
+    roll = ActRollout(obs=obs, action=action, log_prob=talp[..., 1],
+                      value=talp[..., 2], reward=talp[..., 3],
+                      delivered=talp[..., 4].astype(jnp.int32).sum(-1),
+                      truncated=steps >= cfg.max_steps)
+    return new_state, roll, reset_keys[-1], next_key, new_carry
+
+
 class ActRollout(NamedTuple):
     """T-step trained-rollout trajectory, env-major like the XLA path."""
     obs: jax.Array        # float32[T, B, A, obs_dim]

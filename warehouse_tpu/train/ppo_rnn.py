@@ -82,6 +82,35 @@ def make_train_rnn(
         )
     mb_envs = b_local // tcfg.num_minibatches
 
+    if tcfg.rollout_backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"rollout_backend must be 'xla' or 'pallas', got "
+            f"{tcfg.rollout_backend!r}")
+    use_pallas = tcfg.rollout_backend == "pallas"
+    if use_pallas:
+        problems = []
+        if arch != "gru":
+            problems.append(f"arch={arch!r} (kernel implements GRU)")
+        if tcfg.model_dtype != "float32":
+            problems.append("model_dtype")
+        if env_cfg.global_obs:
+            problems.append("global_obs")
+        if tcfg.mask_actions:
+            problems.append("mask_actions")
+        if tcfg.shaping_coef != 0.0:
+            problems.append("shaping_coef")
+        if tcfg.bootstrap_truncated:
+            problems.append("bootstrap_truncated")
+        if env_cfg.max_steps % tcfg.unroll_length:
+            problems.append("max_steps % unroll_length != 0")
+        if b_local % tcfg.pallas_block:
+            problems.append(
+                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
+        if problems:
+            raise ValueError(
+                "rollout_backend='pallas' unsupported with: "
+                + ", ".join(problems))
+
     if tcfg.anneal_lr:
         total_steps = (
             tcfg.num_updates * tcfg.ppo_epochs * tcfg.num_minibatches
@@ -131,6 +160,36 @@ def make_train_rnn(
         key = rs.key.reshape(2)
         h0 = rs.carry  # rollout-start carry, saved for the loss replay
 
+        if use_pallas:
+            # Fused recurrent act kernel (pallas/act.py): GRU cell runs
+            # in-kernel; the boundary reset (env AND carry) runs
+            # outside, matching the per-step semantics because the
+            # envelope restricts truncation to the chunk's last step.
+            from ..env.batch import reset_truncated_batch
+            from ..pallas.act import ppo_rnn_rollout_pallas
+
+            cfg_noar = env_cfg.replace(auto_reset=False)
+            (new_env_state, roll, reset_key_last, key,
+             new_carry) = ppo_rnn_rollout_pallas(
+                cfg_noar, params, rs.env_state, h0, tcfg.unroll_length,
+                key, tcfg.pallas_block, tcfg.pallas_interpret)
+            env_state, last_obs, done_b = reset_truncated_batch(
+                cfg_noar, new_env_state, reset_key_last)
+            last_h = jax.tree.map(
+                lambda x: jnp.where(done_b[:, None, None], 0.0, x),
+                new_carry)
+            done = jnp.broadcast_to(
+                roll.truncated[:, :, None], roll.reward.shape)
+            mask = jnp.ones(
+                (*roll.action.shape, env_cfg.num_actions), bool)
+            traj = Transition(roll.obs, roll.action, roll.log_prob,
+                              roll.value, roll.reward, done, mask,
+                              jnp.zeros_like(roll.value))
+            delivered = roll.delivered
+            raw_rew = roll.reward.mean(axis=(1, 2))
+            return _learn(rs, params, key, env_state, last_obs, last_h,
+                          h0, traj, delivered, raw_rew)
+
         def env_step(cr, _):
             env_state, obs, h, key = cr
             key, akey = jax.random.split(key)
@@ -176,7 +235,12 @@ def make_train_rnn(
                 length=tcfg.unroll_length,
             )
         )
+        return _learn(rs, params, key, env_state, last_obs, last_h, h0,
+                      traj, delivered, raw_rew)
 
+    # ---------------------------------------------- learn phase (shared)
+    def _learn(rs, params, key, env_state, last_obs, last_h, h0, traj,
+               delivered, raw_rew):
         _, last_value, _ = model.apply(params, last_obs, last_h)
         advantages, targets = gae(
             traj.reward, traj.value, traj.done, last_value,
