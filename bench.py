@@ -27,12 +27,21 @@ not a code regression.
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 PER_CHIP_TARGET = 10_000_000 / 16
+
+# Per-path wall-clock budgets (seconds), enforced by SUBPROCESS
+# isolation: a wedged remote-compile RPC blocks inside PJRT C++ and is
+# not interruptible by signals, so each path runs in its own process
+# (see main) — a hang or crash degrades that one path to null instead
+# of sinking the whole bench (observed 2026-08-20: the tunnel's compile
+# service went down for >1h while cached programs kept executing).
+PATH_BUDGET_S = {"pallas": 1800, "engine": 900, "ppo": 1500}
 
 
 def _progress(msg: str) -> None:
@@ -162,34 +171,71 @@ def bench_ppo(jax, jnp, backend="pallas"):
     return n * tcfg.num_envs * tcfg.unroll_length / best
 
 
-def main() -> None:
+def run_path(path: str) -> None:
+    """Child-process entry: run ONE bench path, print its JSON result."""
     import jax
     import jax.numpy as jnp
 
     from warehouse_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    pallas_sps, ep_times = bench_pallas(jax, jnp)
-
-    def _try(name, fn):
+    if path == "pallas":
+        sps, ep_times = bench_pallas(jax, jnp)
+        out = {"sps": sps, "ep_times": ep_times,
+               "n_chips": jax.device_count()}
+    elif path == "engine":
+        out = {"sps": bench_engine(jax, jnp)}
+    elif path == "ppo":
+        # Trained path: the fused Pallas act-phase backend
+        # (pallas/act.py); falls back to the XLA scan backend.
         try:
-            return fn(jax, jnp)
-        except Exception as e:  # secondary paths must not sink the bench
-            _progress(f"{name} path FAILED: {e!r}")
-            return None
+            out = {"sps": bench_ppo(jax, jnp, "pallas"),
+                   "backend": "pallas"}
+        except Exception as e:
+            _progress(f"ppo pallas backend FAILED: {e!r}")
+            out = {"sps": bench_ppo(jax, jnp, "xla"), "backend": "xla"}
+    else:
+        raise SystemExit(f"unknown path {path!r}")
+    print("RESULT " + json.dumps(out))
 
-    engine_sps = _try("engine", bench_engine)
-    # Trained path: the fused Pallas act-phase backend (pallas/act.py);
-    # falls back to the XLA scan backend if the kernel path fails.
-    ppo_backend = "pallas"
-    ppo_sps = _try("ppo", lambda j, n: bench_ppo(j, n, "pallas"))
-    if ppo_sps is None:
-        ppo_backend = "xla"
-        ppo_sps = _try("ppo", lambda j, n: bench_ppo(j, n, "xla"))
 
-    n_chips = jax.device_count()
-    per_chip = pallas_sps / n_chips
+def _run_isolated(path: str):
+    """Run one bench path in a subprocess with a budget; None on
+    hang/crash (see PATH_BUDGET_S)."""
+    _progress(f"{path}: starting (budget {PATH_BUDGET_S[path]}s) …")
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--path", path],
+            capture_output=True, text=True,
+            timeout=PATH_BUDGET_S[path],
+        )
+    except subprocess.TimeoutExpired:
+        _progress(f"{path} path TIMED OUT — reporting null")
+        return None
+    sys.stderr.write(proc.stderr)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    _progress(f"{path} path FAILED (rc={proc.returncode}) — null")
+    return None
+
+
+def main() -> None:
+    pallas = _run_isolated("pallas")
+    engine = _run_isolated("engine")
+    ppo = _run_isolated("ppo")
+
+    pallas_sps = pallas["sps"] if pallas else None
+    ep_times = pallas["ep_times"] if pallas else []
+    engine_sps = engine["sps"] if engine else None
+    ppo_sps = ppo["sps"] if ppo else None
+    ppo_backend = ppo["backend"] if ppo else None
+
+    # Headline: the fused greedy kernel; degrade to the engine path if
+    # the kernel path was unavailable this run.
+    n_chips = pallas["n_chips"] if pallas else 1
+    headline = pallas_sps if pallas_sps else (engine_sps or 0)
+    per_chip = headline / n_chips
     print(
         json.dumps(
             {
@@ -214,7 +260,7 @@ def main() -> None:
                 "pallas_episode_s": ep_times,
                 "pallas_episode_spread": (
                     round(max(ep_times) / min(ep_times), 2)
-                    if min(ep_times) > 0 else None
+                    if ep_times and min(ep_times) > 0 else None
                 ),
             }
         )
@@ -222,4 +268,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--path":
+        run_path(sys.argv[2])
+    else:
+        main()
