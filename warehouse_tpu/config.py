@@ -256,6 +256,7 @@ class TrainConfig:
     # (tests/test_grad_kernel.py). Same envelope as the act kernel
     # (mlp, float32, no masking, shared policy).
     grad_backend: str = "xla"
+    grad_block: int = 4096        # samples per grad-kernel grid block
     # Infra
     seed: int = 0
     checkpoint_every: int = 50

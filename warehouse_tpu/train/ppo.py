@@ -422,6 +422,7 @@ def make_train(
                     ent_coef=ent_coef, kl_coeff=rs.kl_coeff,
                     clip_eps=tcfg.clip_eps,
                     value_coef=tcfg.value_coef,
+                    block=tcfg.grad_block,
                     interpret=tcfg.pallas_interpret)
 
         params, opt_state, key, losses = minibatch_epochs(
