@@ -21,6 +21,15 @@ Scope (the trainer gates on this): ActorCriticMLP, float32, no action
 masking, advantages pre-normalized per minibatch (the
 ``ppo_losses(normalize_adv=False)`` convention shared with
 micro-batching).
+
+Measured on-chip (docs/RESULTS.md session 3b): numerically right (loss
+matches XLA to 4e-5) but ~1.8 ms/update SLOWER than XLA's fwd+bwd at
+BASELINE config 4 — so it ships OPT-IN (grad_backend="pallas", default
+"xla"). Known taxes to attack before flipping the default: (a) the
+[N, D] -> [D, N] obs transpose in the wrapper (~28 MB x 16 calls
+per update that XLA cannot fuse into the kernel), (b) 16 separate
+pallas_call launches per update, (c) K=106/128 matmuls at
+4096-column blocks underfill the MXU (grad_block is now tunable).
 """
 
 from __future__ import annotations
