@@ -69,6 +69,25 @@ def main(argv=None) -> None:
                    help="comma-separated policy group per agent, e.g. "
                         "'0,0,1,1' trains 2 policies (RLlib "
                         "policy_mapping_fn parity); default: shared")
+    p.add_argument("--rollout-backend", choices=["xla", "pallas"],
+                   default="xla",
+                   help="'pallas' runs the T-step acting phase as one "
+                        "fused Mosaic kernel (obs + MXU forward + "
+                        "sampling + env tick in VMEM; pallas/act.py) — "
+                        "measured 7.3M env-steps/s vs 6.1M at BASELINE "
+                        "config 4, curve-identical")
+    p.add_argument("--grad-backend", choices=["xla", "pallas"],
+                   default="xla",
+                   help="'pallas' computes minibatch grads in a fused "
+                        "loss+backward kernel (pallas/grad.py); "
+                        "jax.grad-exact but currently slower than XLA "
+                        "grads — see docs/RESULTS.md")
+    p.add_argument("--pallas-block", type=int, default=512,
+                   help="envs per act-kernel block (VMEM residency)")
+    p.add_argument("--micro-batches", type=int, default=1,
+                   help="split each minibatch grad into K averaged "
+                        "micro-grads (same SGD trajectory; see "
+                        "TrainConfig.micro_batches)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=50)
@@ -122,6 +141,10 @@ def main(argv=None) -> None:
         kl_target=args.kl_target,
         hidden_dim=args.hidden_dim,
         model_dtype=args.model_dtype,
+        rollout_backend=args.rollout_backend,
+        grad_backend=args.grad_backend,
+        pallas_block=args.pallas_block,
+        micro_batches=args.micro_batches,
         seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint_dir,
