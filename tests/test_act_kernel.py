@@ -228,3 +228,26 @@ def test_rnn_trainer_backend_equivalence():
         for k in mx:
             assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
     assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
+
+
+@pytest.mark.slow
+def test_trainer_backend_equivalence_bootstrap():
+    """bootstrap_truncated through the kernel path: the boundary boot
+    value is computed outside from the pre-reset state (one row) —
+    must match the XLA path's per-step final_obs bootstrapping."""
+    cfg = small_config().replace(max_steps=8)
+    base = TrainConfig(num_envs=B, unroll_length=4, num_updates=2,
+                       num_minibatches=2, minibatch_mode="env",
+                       bootstrap_truncated=True)
+    trx = make_train_cached(cfg, base)
+    trp = make_train_cached(
+        cfg, base.replace(rollout_backend="pallas", pallas_block=B,
+                          pallas_interpret=True))
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(3):   # crosses the t=8 boundary at update 2
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
+    assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))

@@ -107,3 +107,29 @@ def test_grad_backend_gate_raises():
         make_train(cfg, base.replace(mask_actions=True))
     with pytest.raises(ValueError, match="grad_backend"):
         make_train(cfg, base.replace(grad_backend="bogus"))
+
+
+@pytest.mark.slow
+def test_grad_kernel_with_micro_batches():
+    """grad_backend='pallas' composes with micro-batch accumulation
+    (the kernel is the vg inside the micro scan)."""
+    from warehouse_tpu.train.ppo import make_train
+
+    cfg = small_config().replace(max_steps=8)
+    base = TrainConfig(num_envs=128, unroll_length=4, num_updates=2,
+                       num_minibatches=2, minibatch_mode="env")
+    trx = make_train(cfg, base)
+    trp = make_train(cfg, base.replace(grad_backend="pallas",
+                                       micro_batches=2,
+                                       pallas_interpret=True))
+    rsx = trx.init(jax.random.PRNGKey(1))
+    rsp = trp.init(jax.random.PRNGKey(1))
+    for _ in range(2):
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
+    for a, b in zip(jax.tree.leaves(rsx.params),
+                    jax.tree.leaves(rsp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-6)
