@@ -144,8 +144,6 @@ def test_pallas_gate_raises_loudly():
     base = TrainConfig(num_envs=B, unroll_length=4,
                        rollout_backend="pallas", pallas_block=B)
     for bad in (
-        base.replace(mask_actions=True),
-        base.replace(shaping_coef=0.1),
         base.replace(model_dtype="bfloat16"),
         base.replace(unroll_length=3),     # 8 % 3 != 0
         base.replace(pallas_block=B + 8),  # B % block != 0
@@ -246,6 +244,31 @@ def test_trainer_backend_equivalence_bootstrap():
     rsx = trx.init(jax.random.PRNGKey(0))
     rsp = trp.init(jax.random.PRNGKey(0))
     for _ in range(3):   # crosses the t=8 boundary at update 2
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
+    assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
+
+
+@pytest.mark.slow
+def test_trainer_backend_equivalence_masked():
+    """In-kernel action masking + BFS-potential shaping vs the XLA
+    path — same seed, same trajectories (edge cells exercise the
+    bounds mask; shaping exercises the in-kernel table contraction,
+    which is bit-exact because every one-hot sum selects exactly one
+    element)."""
+    cfg = small_config().replace(max_steps=8)
+    base = TrainConfig(num_envs=B, unroll_length=4, num_updates=2,
+                       num_minibatches=2, minibatch_mode="env",
+                       mask_actions=True, shaping_coef=0.02)
+    trx = make_train_cached(cfg, base)
+    trp = make_train_cached(
+        cfg, base.replace(rollout_backend="pallas", pallas_block=B,
+                          pallas_interpret=True))
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(2):
         rsx, mx = trx.train_step(rsx)
         rsp, mp = trp.train_step(rsp)
         for k in mx:

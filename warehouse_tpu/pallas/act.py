@@ -22,12 +22,19 @@ trajectories are distributionally identical but not bit-identical —
 tests/test_act_kernel.py checks obs/dynamics exactly and logits/values
 to tolerance, and the trainer A/B checks the learning curve.
 
+Action masking runs in-kernel too (``mask_actions=True``): the static
+bounds+walls validity of ``ops/move.py valid_action_mask`` is computed
+per step, invalid logits are floored to the same -1e9 the XLA path
+uses, and the mask rides home in the trajectory for the loss to
+re-apply — so the shelves recipe's ``--mask-actions`` trains on the
+fast path.
+
 Restrictions (the trainer gates on these — train/ppo.py fast path):
-feed-forward MLP policy, shared across agents, ego-window obs, no action
-masking/shaping in-kernel, and ``T`` must not cross an episode boundary
-mid-chunk (``max_steps % T == 0`` with synchronized ``state.t`` — every
-trainer init satisfies this); the boundary auto-reset runs OUTSIDE via
-the same cond-gated reset as the XLA path.
+feed-forward MLP (or GRU) policy, shared across agents, ego-window
+obs, no reward shaping in-kernel, and ``T`` must not cross an episode
+boundary mid-chunk (``max_steps % T == 0`` with synchronized
+``state.t`` — every trainer init satisfies this); the boundary
+auto-reset runs OUTSIDE via the same cond-gated reset as the XLA path.
 """
 
 from __future__ import annotations
@@ -127,11 +134,72 @@ def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
     return rows
 
 
-def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int,
-                *refs):
+NEG_INF = -1e9  # logits floor for masked actions (ops/ppo_update.py)
+# Action deltas in action order STAY/UP/DOWN/LEFT/RIGHT (ops/move.py).
+_DELTAS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+
+
+def _valid_action_rows(cfg: EnvConfig, p_r_i, p_c_i):
+    """Per-action validity rows [5 x [1, B] bool] — the static
+    bounds+walls part of §4.1 rule 1, the exact twin of
+    ``ops/move.py valid_action_mask``."""
+    H, W = cfg.height, cfg.width
+    rows = []
+    for dr, dc in _DELTAS:
+        pr = p_r_i + dr
+        pc = p_c_i + dc
+        ok = (pr >= 0) & (pr < H) & (pc >= 0) & (pc < W)
+        for w in cfg.walls:
+            ok = ok & ~((pr == w // W) & (pc == w % W))
+        rows.append(ok)
+    return rows
+
+
+def _phi_row(cfg: EnvConfig, tbl_ref, p_r_i, p_c_i, aq_i, cy_i,
+             q_pr, q_pc, q_dr, q_dc):
+    """Shaping potential φ(s) for one agent, [1, B] f32 — the exact
+    twin of ``ops/pathing.py potential`` (one-hot table contraction;
+    every sum selects exactly one element, so it is bit-exact)."""
+    from ..ops.pathing import UNREACHABLE
+
+    R, W, C = cfg.queue_capacity, cfg.width, cfg.num_cells
+    tpr = jnp.zeros_like(p_r_i)
+    tpc = jnp.zeros_like(p_r_i)
+    tdr = jnp.zeros_like(p_r_i)
+    tdc = jnp.zeros_like(p_r_i)
+    for r in range(R):
+        m = aq_i == r
+        tpr = jnp.where(m, q_pr[r], tpr)
+        tpc = jnp.where(m, q_pc[r], tpc)
+        tdr = jnp.where(m, q_dr[r], tdr)
+        tdc = jnp.where(m, q_dc[r], tdc)
+    carrying = cy_i != 0
+    has = aq_i >= 0
+    tgt_cell = (jnp.where(carrying, tdr, tpr) * W
+                + jnp.where(carrying, tdc, tpc))          # [1, B]
+    pos_cell = p_r_i * W + p_c_i
+
+    B = p_r_i.shape[-1]
+    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (C, B), 0)
+    oh_tgt = (cell_ids == tgt_cell).astype(jnp.float32)    # [C, B]
+    oh_pos = (cell_ids == pos_cell).astype(jnp.float32)
+    # tmp[c, b] = table[c, tgt_b]; d[b] = tmp[pos_b, b].
+    tmp = jax.lax.dot_general(
+        tbl_ref[...], oh_tgt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d = jnp.sum(tmp * oh_pos, axis=0, keepdims=True)       # [1, B]
+    ok = has & (d < float(UNREACHABLE))
+    return jnp.where(ok, -d, 0.0)
+
+
+def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
+                shaping_coef: float, gamma: float, *refs):
     """Kernel body. ``refs`` order: state rows (10 in), u/pick/drop,
-    gumbel, weights (2 per hidden layer + heads w/b), then outputs:
-    state rows (10 out), obs, talp."""
+    gumbel, [bfs table + trunc rows when shaping], weights (2 per
+    hidden layer + heads w/b), then outputs: state rows (10 out), obs,
+    talp (16-row slots per (t, agent): 0 action, 1 log-prob, 2 value,
+    3 reward (shaped when shaping is on), 4 delivered, 5-9 action
+    mask, 10 raw reward, 11-15 zero)."""
     A, R = cfg.num_agents, cfg.queue_capacity
     D = cfg.obs_dim
     Dp = _pad8(D)
@@ -142,6 +210,9 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int,
     rstat, ragent = next(it), next(it)
     u_ref, pick_ref, drop_ref, g_ref = (next(it), next(it), next(it),
                                         next(it))
+    shape_on = shaping_coef > 0.0
+    if shape_on:
+        tbl_ref, trunc_ref = next(it), next(it)
     wbs = [(next(it), next(it)) for _ in range(n_hidden)]
     wh_ref, bh_ref = next(it), next(it)
     (o_pos_r, o_pos_c, o_areq, o_carry, o_rp_r, o_rp_c, o_rd_r, o_rd_c,
@@ -163,6 +234,13 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int,
         u = u_ref[pl.ds(t, 1), :]
         spick = pick_ref[pl.ds(t, 1), :]
         sdrop = drop_ref[pl.ds(t, 1), :]
+        if shape_on:
+            done_t = trunc_ref[pl.ds(t, 1), :]
+            phi_pre = [
+                _phi_row(cfg, tbl_ref, p_r[i], p_c[i], aq[i], cy[i],
+                         q_pr, q_pc, q_dr, q_dc)
+                for i in range(A)
+            ]
 
         act = []
         for i in range(A):
@@ -191,38 +269,27 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int,
                 preferred_element_type=jnp.float32,
             ) + bh_ref[:, :]                              # [6(+pad), B]
 
+            base = (t * A + i) * 16
+            if mask_act:
+                # Floor invalid logits BEFORE sampling (the XLA path's
+                # sample_action receives pre-masked logits); store the
+                # mask so the loss can re-apply it.
+                valid = _valid_action_rows(cfg, p_r[i], p_c[i])
+                masked = jnp.concatenate(
+                    [jnp.where(valid[r], out[r:r + 1, :],
+                               jnp.float32(NEG_INF))
+                     for r in range(5)] + [out[5:, :]], axis=0)
+                for r in range(5):
+                    o_talp[pl.ds(base + 5 + r, 1), :] = jnp.where(
+                        valid[r], 1.0, 0.0)
+                out = masked
             # Lane-dense categorical sample: argmax(logits + gumbel),
             # first-max tie rule (same as jnp.argmax / the XLA path).
             g = g_ref[pl.ds((t * A + i) * 8, 5), :]        # [5, B]
-            logit = [out[r:r + 1, :] for r in range(5)]
-            z = [logit[r] + g[r:r + 1, :] for r in range(5)]
-            best = z[0]
-            best_a = jnp.zeros_like(u, dtype=jnp.int32) * 0
-            best_a = jnp.full_like(best_a, 0)
-            for r in range(1, 5):
-                m = z[r] > best
-                best = jnp.where(m, z[r], best)
-                best_a = jnp.where(m, r, best_a)
+            best_a, lp = _sample_logprob(out, g)
             act.append(best_a)
 
-            # log pi(a|s): stable log-softmax over the 5 logit rows.
-            mx = logit[0]
-            for r in range(1, 5):
-                mx = jnp.maximum(mx, logit[r])
-            ssum = jnp.zeros_like(mx)
-            for r in range(5):
-                ssum = ssum + jnp.exp(logit[r] - mx)
-            lse = jnp.log(ssum)
-            lp = jnp.zeros_like(mx)
-            for r in range(5):
-                lp = lp + jnp.where(
-                    best_a == r, logit[r] - mx - lse, 0.0
-                )
-
             value = out[5:6, :]
-            # talp slot rows: 0 action, 1 log-prob, 2 value, 3 reward
-            # (filled below), 4 delivered, 5-7 zero.
-            base = (t * A + i) * 8
             o_talp[pl.ds(base, 1), :] = best_a.astype(jnp.float32)
             o_talp[pl.ds(base + 1, 1), :] = lp
             o_talp[pl.ds(base + 2, 1), :] = value
@@ -240,8 +307,20 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int,
                 + cfg.delivery_reward * delivered[i].astype(jnp.float32)
                 + cfg.collision_penalty * collided[i].astype(jnp.float32)
             )
-            base = (t * A + i) * 8
-            o_talp[pl.ds(base + 3, 1), :] = rew
+            base = (t * A + i) * 16
+            if shape_on:
+                # Potential-based shaping on the POST-tick (pre-reset)
+                # state; the γ·φ(s') term is cut at the boundary
+                # exactly like the XLA path's (1 − done) factor.
+                phi_post = _phi_row(cfg, tbl_ref, p_r[i], p_c[i],
+                                    aq[i], cy[i], q_pr, q_pc, q_dr,
+                                    q_dc)
+                shaped = rew + shaping_coef * (
+                    gamma * phi_post * (1.0 - done_t) - phi_pre[i])
+                o_talp[pl.ds(base + 3, 1), :] = shaped
+                o_talp[pl.ds(base + 10, 1), :] = rew
+            else:
+                o_talp[pl.ds(base + 3, 1), :] = rew
             o_talp[pl.ds(base + 4, 1), :] = (
                 delivered[i].astype(jnp.float32)
             )
@@ -287,7 +366,8 @@ def _sample_logprob(out, g):
     return best_a, lp
 
 
-def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int, *refs):
+def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
+                    mask_act: bool, *refs):
     """Recurrent act kernel: encoder MLP -> GRU cell -> heads, carry
     rows [A*H, B] threaded through the T-step loop. The flax GRUCell
     math exactly (models/policy.py ActorCriticRNN):
@@ -359,10 +439,19 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int, *refs):
             hs[i] = h
 
             out = dot(wh_ref, h) + bh_ref[...]        # [8, B]
+            base = (t * A + i) * 16
+            if mask_act:
+                valid = _valid_action_rows(cfg, p_r[i], p_c[i])
+                out = jnp.concatenate(
+                    [jnp.where(valid[r], out[r:r + 1, :],
+                               jnp.float32(NEG_INF))
+                     for r in range(5)] + [out[5:, :]], axis=0)
+                for r in range(5):
+                    o_talp[pl.ds(base + 5 + r, 1), :] = jnp.where(
+                        valid[r], 1.0, 0.0)
             g = g_ref[pl.ds((t * A + i) * 8, 5), :]
             best_a, lp = _sample_logprob(out, g)
             act.append(best_a)
-            base = (t * A + i) * 8
             o_talp[pl.ds(base, 1), :] = best_a.astype(jnp.float32)
             o_talp[pl.ds(base + 1, 1), :] = lp
             o_talp[pl.ds(base + 2, 1), :] = out[5:6, :]
@@ -380,7 +469,7 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int, *refs):
                 + cfg.delivery_reward * delivered[i].astype(jnp.float32)
                 + cfg.collision_penalty * collided[i].astype(jnp.float32)
             )
-            base = (t * A + i) * 8
+            base = (t * A + i) * 16
             o_talp[pl.ds(base + 3, 1), :] = rew
             o_talp[pl.ds(base + 4, 1), :] = (
                 delivered[i].astype(jnp.float32))
@@ -439,10 +528,11 @@ def extract_rnn_weights(params):
     return enc, gmats, (wh, bh)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 6, 7))
+@partial(jax.jit, static_argnums=(0, 4, 6, 7, 8))
 def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
                            carry, T: int, key: jax.Array,
-                           block: int = 512, interpret: bool = False):
+                           block: int = 512, interpret: bool = False,
+                           mask_actions: bool = False):
     """Recurrent (GRU) trained rollout via the fused kernel.
 
     ``carry``: float32[B, A, H] GRU hidden state. Returns
@@ -527,7 +617,7 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
     out_specs = [
         bspec(A), bspec(A), bspec(A), bspec(A),
         bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
-        bspec(A * H), bspec(T * A * Dp), bspec(T * A * 8),
+        bspec(A * H), bspec(T * A * Dp), bspec(T * A * 16),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((A, B), jnp.int32) for _ in range(4)
@@ -536,15 +626,15 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
     ] + [
         jax.ShapeDtypeStruct((A * H, B), jnp.float32),
         jax.ShapeDtypeStruct((T * A * Dp, B), jnp.float32),
-        jax.ShapeDtypeStruct((T * A * 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((T * A * 16, B), jnp.float32),
     ]
 
     vmem_bytes = 4 * block * 2 * (
-        T * A * Dp + T * A * 8 + 10 * (A + R) + 2 * A * H
+        T * A * Dp + T * A * 16 + 10 * (A + R) + 2 * A * H
         + T * (3 + A * 8)
     ) + 12 * 1024 * 1024
     outs = pl.pallas_call(
-        partial(_act_rnn_kernel, cfg, T, n_enc, H),
+        partial(_act_rnn_kernel, cfg, T, n_enc, H, mask_actions),
         grid=(B // block,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -576,13 +666,18 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
 
     obs = obs_rows.reshape(T, A, Dp, B)[:, :, :D, :]
     obs = obs.transpose(0, 3, 1, 2)
-    talp = talp.reshape(T, A, 8, B).transpose(0, 3, 1, 2)
+    talp = talp.reshape(T, A, 16, B).transpose(0, 3, 1, 2)
     action = talp[..., 0].astype(jnp.int32)
+    if mask_actions:
+        mask = talp[..., 5:10] > 0.5
+    else:
+        mask = jnp.ones((T, B, A, 5), bool)
     steps = state.t[None, :] + 1 + jnp.arange(T, dtype=state.t.dtype)[:, None]
     roll = ActRollout(obs=obs, action=action, log_prob=talp[..., 1],
                       value=talp[..., 2], reward=talp[..., 3],
                       delivered=talp[..., 4].astype(jnp.int32).sum(-1),
-                      truncated=steps >= cfg.max_steps)
+                      truncated=steps >= cfg.max_steps, mask=mask,
+                      raw_reward=talp[..., 3])
     return new_state, roll, reset_keys[-1], next_key, new_carry
 
 
@@ -595,6 +690,10 @@ class ActRollout(NamedTuple):
     reward: jax.Array     # float32[T, B, A]
     delivered: jax.Array  # int32[T, B] per-env delivery counts
     truncated: jax.Array  # bool[T, B]
+    mask: jax.Array       # bool[T, B, A, 5] valid-action mask (all-True
+    #                       when the trainer runs unmasked)
+    raw_reward: jax.Array  # float32[T, B, A] pre-shaping env reward
+    #                        (== reward when shaping is off)
 
 
 def extract_mlp_weights(params) -> tuple:
@@ -618,10 +717,13 @@ def extract_mlp_weights(params) -> tuple:
     return hidden, (wh, bh)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 6))
+@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9))
 def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
                        key: jax.Array, block: int = 512,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       mask_actions: bool = False,
+                       shaping_coef: float = 0.0,
+                       gamma: float = 0.99):
     """Run the T-step trained acting phase via the fused kernel.
 
     Returns ``(new EnvState, ActRollout, reset_key_last uint32[B, 2])``
@@ -677,9 +779,6 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
         u.astype(jnp.float32), pick.astype(jnp.int32),
         drop.astype(jnp.int32), g,
     ]
-    for w, b in hidden:
-        ins.extend([w, b])
-    ins.extend([wh, bh])
 
     def bspec(rows_):
         return pl.BlockSpec((rows_, block), lambda i: (0, i),
@@ -694,6 +793,20 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
         bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
         bspec(T), bspec(T), bspec(T), bspec(T * A * 8),
     ]
+    if shaping_coef > 0.0:
+        from ..ops.pathing import distance_table
+
+        tbl = jnp.asarray(distance_table(cfg), jnp.float32)    # [C, C]
+        # Boundary flags [T, B] f32: the envelope restricts truncation
+        # to the chunk's last step, but compute it generally.
+        steps_ahead = (state.t[None, :] + 1
+                       + jnp.arange(T, dtype=state.t.dtype)[:, None])
+        trunc = (steps_ahead >= cfg.max_steps).astype(jnp.float32)
+        ins.extend([tbl, trunc])
+        in_specs.extend([wspec(tbl.shape), bspec(T)])
+    for w, b in hidden:
+        ins.extend([w, b])
+    ins.extend([wh, bh])
     for w, b in hidden:
         in_specs.extend([wspec(w.shape), wspec(b.shape)])
     in_specs.extend([wspec(wh.shape), wspec(bh.shape)])
@@ -701,7 +814,7 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
     out_specs = [
         bspec(A), bspec(A), bspec(A), bspec(A),
         bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
-        bspec(T * A * Dp), bspec(T * A * 8),
+        bspec(T * A * Dp), bspec(T * A * 16),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((A, B), jnp.int32) for _ in range(4)
@@ -709,19 +822,20 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
         jax.ShapeDtypeStruct((R, B), jnp.int32) for _ in range(6)
     ] + [
         jax.ShapeDtypeStruct((T * A * Dp, B), jnp.float32),
-        jax.ShapeDtypeStruct((T * A * 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((T * A * 16, B), jnp.float32),
     ]
 
     # The obs trajectory output block ([T*A*Dp, block] f32) dominates
     # VMEM; size the scoped-vmem budget to the actual block footprint
     # (default limit is 16M — a T=16 x block=512 call needs ~33M).
     vmem_bytes = 4 * block * 2 * (            # 2x: grid double-buffering
-        T * A * Dp + T * A * 8                # obs + talp output blocks
+        T * A * Dp + T * A * 16               # obs + talp output blocks
         + 10 * (A + R)                        # state rows in+out
         + T * (3 + A * 8)                     # draws + gumbel
     ) + 12 * 1024 * 1024                      # weights + compiler stack
     outs = pl.pallas_call(
-        partial(_act_kernel, cfg, T, n_hidden),
+        partial(_act_kernel, cfg, T, n_hidden, mask_actions,
+                shaping_coef, gamma),
         grid=(B // block,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -752,16 +866,22 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
 
     obs = obs_rows.reshape(T, A, Dp, B)[:, :, :D, :]
     obs = obs.transpose(0, 3, 1, 2)                   # [T, B, A, D]
-    talp = talp.reshape(T, A, 8, B).transpose(0, 3, 1, 2)  # [T, B, A, 8]
+    talp = talp.reshape(T, A, 16, B).transpose(0, 3, 1, 2)  # [T, B, A, 16]
     action = talp[..., 0].astype(jnp.int32)
     log_prob = talp[..., 1]
     value = talp[..., 2]
     reward = talp[..., 3]
     delivered = talp[..., 4].astype(jnp.int32).sum(-1)     # [T, B]
+    if mask_actions:
+        mask = talp[..., 5:10] > 0.5
+    else:
+        mask = jnp.ones((T, B, A, 5), bool)
+    raw_reward = talp[..., 10] if shaping_coef > 0.0 else reward
     steps = state.t[None, :] + 1 + jnp.arange(T, dtype=state.t.dtype)[:, None]
     truncated = steps >= cfg.max_steps                     # [T, B]
 
     roll = ActRollout(obs=obs, action=action, log_prob=log_prob,
                       value=value, reward=reward, delivered=delivered,
-                      truncated=truncated)
+                      truncated=truncated, mask=mask,
+                      raw_reward=raw_reward)
     return new_state, roll, reset_keys[-1], next_key

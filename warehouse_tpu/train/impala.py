@@ -114,8 +114,6 @@ def make_train_impala(
             problems.append("model_dtype")
         if env_cfg.global_obs:
             problems.append("global_obs")
-        if tcfg.mask_actions:
-            problems.append("mask_actions")
         if env_cfg.max_steps % tcfg.unroll_length:
             problems.append("max_steps % unroll_length != 0")
         if b_local % tcfg.pallas_block:
@@ -178,13 +176,13 @@ def make_train_impala(
             cfg_noar = env_cfg.replace(auto_reset=False)
             new_env_state, roll, reset_key_last, key = ppo_rollout_pallas(
                 cfg_noar, params, rs.env_state, tcfg.unroll_length, key,
-                tcfg.pallas_block, tcfg.pallas_interpret)
+                tcfg.pallas_block, tcfg.pallas_interpret,
+                tcfg.mask_actions)
             env_state, last_obs, _ = reset_truncated_batch(
                 cfg_noar, new_env_state, reset_key_last)
             done = jnp.broadcast_to(
                 roll.truncated[:, :, None], roll.reward.shape)
-            mask = jnp.ones(
-                (*roll.action.shape, env_cfg.num_actions), bool)
+            mask = roll.mask
             if tcfg.bootstrap_truncated:
                 _, boot_last = model.apply(
                     params, observe_batch(cfg_noar, new_env_state))

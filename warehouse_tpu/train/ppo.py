@@ -151,10 +151,6 @@ def make_train(
             problems.append("model_dtype")
         if env_cfg.global_obs:
             problems.append("global_obs")
-        if tcfg.mask_actions:
-            problems.append("mask_actions")
-        if tcfg.shaping_coef != 0.0:
-            problems.append("shaping_coef")
         if env_cfg.max_steps % tcfg.unroll_length:
             problems.append("max_steps % unroll_length != 0")
         if b_local % tcfg.pallas_block:
@@ -247,13 +243,13 @@ def make_train(
             cfg_noar = env_cfg.replace(auto_reset=False)
             new_env_state, roll, reset_key_last, key = ppo_rollout_pallas(
                 cfg_noar, params, rs.env_state, tcfg.unroll_length, key,
-                tcfg.pallas_block, tcfg.pallas_interpret)
+                tcfg.pallas_block, tcfg.pallas_interpret,
+                tcfg.mask_actions, tcfg.shaping_coef, tcfg.gamma)
             env_state, last_obs, _ = reset_truncated_batch(
                 cfg_noar, new_env_state, reset_key_last)
             done = jnp.broadcast_to(
                 roll.truncated[:, :, None], roll.reward.shape)
-            mask = jnp.ones(
-                (*roll.action.shape, env_cfg.num_actions), bool)
+            mask = roll.mask
             if tcfg.bootstrap_truncated:
                 # V of the TRUE (pre-reset) boundary state; done is only
                 # ever True on the chunk's last step (make_train gates
@@ -269,7 +265,7 @@ def make_train(
                               roll.value, roll.reward, done, mask,
                               boot_value)
             delivered = roll.delivered
-            raw_rew = roll.reward.mean(axis=(1, 2))
+            raw_rew = roll.raw_reward.mean(axis=(1, 2))
             return _learn(rs, params, key, env_state, last_obs, traj,
                           delivered, raw_rew)
 

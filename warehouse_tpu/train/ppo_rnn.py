@@ -95,8 +95,6 @@ def make_train_rnn(
             problems.append("model_dtype")
         if env_cfg.global_obs:
             problems.append("global_obs")
-        if tcfg.mask_actions:
-            problems.append("mask_actions")
         if tcfg.shaping_coef != 0.0:
             problems.append("shaping_coef")
         if tcfg.bootstrap_truncated:
@@ -172,7 +170,8 @@ def make_train_rnn(
             (new_env_state, roll, reset_key_last, key,
              new_carry) = ppo_rnn_rollout_pallas(
                 cfg_noar, params, rs.env_state, h0, tcfg.unroll_length,
-                key, tcfg.pallas_block, tcfg.pallas_interpret)
+                key, tcfg.pallas_block, tcfg.pallas_interpret,
+                tcfg.mask_actions)
             env_state, last_obs, done_b = reset_truncated_batch(
                 cfg_noar, new_env_state, reset_key_last)
             last_h = jax.tree.map(
@@ -180,8 +179,7 @@ def make_train_rnn(
                 new_carry)
             done = jnp.broadcast_to(
                 roll.truncated[:, :, None], roll.reward.shape)
-            mask = jnp.ones(
-                (*roll.action.shape, env_cfg.num_actions), bool)
+            mask = roll.mask
             traj = Transition(roll.obs, roll.action, roll.log_prob,
                               roll.value, roll.reward, done, mask,
                               jnp.zeros_like(roll.value))
