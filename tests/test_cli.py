@@ -64,3 +64,37 @@ def test_evaluate_checkpoint_missing_dir(tmp_path):
     with pytest.raises(SystemExit, match="no checkpoints"):
         main(["--env", "small", "--policy", "checkpoint",
               "--checkpoint-dir", str(tmp_path / "nope")])
+
+
+def test_recurrent_masked_checkpoint_roundtrip(tmp_path, capsys):
+    """Self-describing checkpoints: train a GRU with --mask-actions, then
+    evaluate with NO model flags (arch/hidden_dim/mask from
+    policy_meta.json) and replay it in demo (serve.Policy path threads
+    the recurrent carry)."""
+    from warehouse_tpu.demo import main as demo_main
+    from warehouse_tpu.evaluate import main as eval_main
+    from warehouse_tpu.train.__main__ import main as train_main
+
+    ckpt = str(tmp_path / "ck")
+    train_main([
+        "--env", "small", "--num-envs", "8", "--unroll-length", "4",
+        "--num-updates", "2", "--log-every", "2", "--checkpoint-every", "2",
+        "--arch", "gru", "--hidden-dim", "16", "--mask-actions",
+        "--single-device", "--checkpoint-dir", ckpt,
+        "--metrics-path", str(tmp_path / "m.jsonl"),
+    ])
+    assert os.path.exists(os.path.join(ckpt, "policy_meta.json"))
+
+    eval_main([
+        "--env", "small", "--policy", "checkpoint",
+        "--checkpoint-dir", ckpt, "--episodes", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "mean_episode_return" in out
+
+    demo_main([
+        "--env", "small", "--steps", "6", "--policy", "checkpoint",
+        "--checkpoint-dir", ckpt,
+    ])
+    out = capsys.readouterr().out
+    assert "episode finished after 6 steps" in out

@@ -24,7 +24,7 @@ def main(argv=None) -> None:
                    choices=["greedy", "greedy_bfs", "random", "checkpoint"],
                    default="greedy")
     p.add_argument("--checkpoint-dir", default="checkpoints")
-    p.add_argument("--arch", choices=["mlp", "cnn"], default="mlp")
+    p.add_argument("--arch", choices=["mlp", "cnn", "attn"], default="mlp")
     p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--render", action="store_true")
     p.add_argument("--gif", default=None, metavar="PATH",
@@ -44,20 +44,36 @@ def main(argv=None) -> None:
     rng = np.random.default_rng(args.seed)
 
     ckpt_apply = None
+    ckpt_policy = None
+    ckpt_carry = None
     if args.policy == "checkpoint":
-        import jax
-        import jax.numpy as jnp
+        # Prefer the self-describing serving path: policy_meta.json (written
+        # by the train CLI) rebuilds the exact arch/masking/groups, and
+        # serve.Policy threads the recurrent carry — so GRU/LSTM and
+        # mask-trained checkpoints replay correctly here.
+        from .serve import Policy
 
-        from .evaluate import load_checkpoint_params
-        from .models import make_model
+        try:
+            ckpt_policy = Policy.from_checkpoint(args.checkpoint_dir)
+            ckpt_carry = ckpt_policy.initial_state(1)
+        except FileNotFoundError:
+            # Legacy checkpoint without metadata: feed-forward manual
+            # rebuild from --arch/--hidden-dim (argmax, no masking).
+            import jax
+            import jax.numpy as jnp
 
-        model = make_model(cfg, arch=args.arch, hidden_dim=args.hidden_dim)
-        params = load_checkpoint_params(
-            cfg, model, args.checkpoint_dir
-        )
-        ckpt_apply = jax.jit(
-            lambda o: jnp.argmax(model.apply(params, o)[0], axis=-1)
-        )
+            from .evaluate import load_checkpoint_params
+            from .models import make_model
+
+            model = make_model(
+                cfg, arch=args.arch, hidden_dim=args.hidden_dim
+            )
+            params = load_checkpoint_params(
+                cfg, model, args.checkpoint_dir
+            )
+            ckpt_apply = jax.jit(
+                lambda o: jnp.argmax(model.apply(params, o)[0], axis=-1)
+            )
 
     returns = {a: 0.0 for a in env.possible_agents}
     deliveries = 0
@@ -81,13 +97,19 @@ def main(argv=None) -> None:
                 a: int(acts[i]) for i, a in enumerate(env.possible_agents)
             }
         elif args.policy == "checkpoint":
-            import numpy as _np
+            if ckpt_policy is not None:
+                action_dict, ckpt_carry = ckpt_policy.compute_actions_dict(
+                    env, obs, state=ckpt_carry
+                )
+            else:
+                import numpy as _np
 
-            stacked = _np.stack([obs[a] for a in env.possible_agents])
-            acts = _np.asarray(ckpt_apply(stacked))
-            action_dict = {
-                a: int(acts[i]) for i, a in enumerate(env.possible_agents)
-            }
+                stacked = _np.stack([obs[a] for a in env.possible_agents])
+                acts = _np.asarray(ckpt_apply(stacked))
+                action_dict = {
+                    a: int(acts[i])
+                    for i, a in enumerate(env.possible_agents)
+                }
         else:
             action_dict = {
                 a: int(rng.integers(0, cfg.num_actions))

@@ -90,9 +90,11 @@ def main(argv=None) -> None:
                    choices=["greedy", "greedy_bfs", "random", "checkpoint"],
                    default="greedy")
     p.add_argument("--checkpoint-dir", default="checkpoints")
-    p.add_argument("--arch", choices=["mlp", "cnn", "gru", "lstm"],
-                   default="mlp")
-    p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--arch", choices=["mlp", "cnn", "attn", "gru", "lstm"],
+                   default=None,
+                   help="default: the checkpoint's policy_meta.json "
+                        "(falls back to mlp)")
+    p.add_argument("--hidden-dim", type=int, default=None)
     p.add_argument("--episodes", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sample", action="store_true",
@@ -126,14 +128,36 @@ def main(argv=None) -> None:
             return random_actions(cfg, key, (B,)).astype("int32")
 
     else:
+        import json
+        import os
+
         import jax.numpy as jnp
 
         from .models import make_model
         from .ops.move import valid_action_mask
+        from .serve import META_NAME
 
-        model = make_model(cfg, arch=args.arch, hidden_dim=args.hidden_dim)
+        # Self-describing checkpoints (train CLI writes policy_meta.json):
+        # default arch/hidden_dim/num_layers/mask_actions from the
+        # metadata so flags only exist as overrides — evaluating a
+        # mask-trained checkpoint without re-applying the mask scores
+        # near-zero (docs/RESULTS.md), so the meta default removes that
+        # footgun for legacy-flag users.
+        meta = {}
+        meta_path = os.path.join(args.checkpoint_dir, META_NAME)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        arch = args.arch or meta.get("arch", "mlp")
+        hidden_dim = args.hidden_dim or meta.get("hidden_dim", 128)
+        num_layers = meta.get("num_layers", 2)
+        if meta.get("mask_actions") and not args.mask_actions:
+            args.mask_actions = True
+
+        model = make_model(cfg, arch=arch, hidden_dim=hidden_dim,
+                           num_layers=num_layers)
         params = load_checkpoint_params(cfg, model, args.checkpoint_dir)
-        recurrent = args.arch in ("gru", "lstm")
+        recurrent = arch in ("gru", "lstm")
 
         def maybe_mask(state, logits):
             if not args.mask_actions:
