@@ -9,7 +9,8 @@ Paths reported (BASELINE.json configs 2 & 4):
   in-step (the general-policy rollout path), B=8192.
 - ``ppo``     — the TRAINED path: full Anakin PPO update (rollout + GAE +
   4 epochs x 4 minibatches) at BASELINE config 4 (4096 envs, 9x9, 4
-  agents), minibatch_mode="env" (docs/RESULTS.md: curve-equivalent).
+  agents), minibatch_mode="env" + epoch_shuffle="once"
+  (docs/RESULTS.md: both curve-equivalent at config 4).
 
 North-star metric (BASELINE.json:2): env-steps/s per chip; the aggregate
 target is >10M env-steps/s on v5e-16, i.e. 625k/chip — ``vs_baseline``
@@ -153,7 +154,8 @@ def bench_ppo(jax, jnp, backend="pallas"):
     from warehouse_tpu.train.ppo import make_train
 
     tcfg = TrainConfig(num_envs=4096, unroll_length=16,
-                       minibatch_mode="env", rollout_backend=backend)
+                       minibatch_mode="env", rollout_backend=backend,
+                       epoch_shuffle="once")
     trainer = make_train(medium_config(), tcfg)
     _progress(f"ppo[{backend}]: compiling train_many (config 4) …")
     rs = trainer.init(jax.random.PRNGKey(0))

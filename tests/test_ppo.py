@@ -463,3 +463,39 @@ def test_micro_batches_match_full_minibatch_grad():
 def test_micro_batches_divisibility_raises():
     with pytest.raises(ValueError, match="micro_batches"):
         make_tiny_trainer(micro_batches=7)
+
+
+def test_epoch_shuffle_once_single_epoch_matches_each():
+    """With ppo_epochs=1, epoch_shuffle='once' is draw-for-draw identical
+    to 'each' (both split the carry key once and build one shuffle), so
+    the whole training trajectory must match bit-exactly."""
+    import jax
+
+    ta = make_tiny_trainer(ppo_epochs=1)
+    tb = make_tiny_trainer(ppo_epochs=1, epoch_shuffle="once")
+    ra = ta.init(jax.random.PRNGKey(5))
+    rb = tb.init(jax.random.PRNGKey(5))
+    for _ in range(3):
+        ra, ma = ta.train_step(ra)
+        rb, mb = tb.train_step(rb)
+    for a, b in zip(jax.tree.leaves(ra.params), jax.tree.leaves(rb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in ma:
+        assert float(ma[k]) == float(mb[k]), k
+
+
+def test_epoch_shuffle_once_multi_epoch_learns_and_validates():
+    """'once' with ppo_epochs>1 reuses one partition per update: the
+    step runs, metrics stay finite, params move; a bad value raises."""
+    import jax
+
+    trainer = make_tiny_trainer(epoch_shuffle="once")
+    rs = trainer.init(jax.random.PRNGKey(0))
+    p0 = jax.tree.leaves(rs.params)[0].copy()
+    rs, m = trainer.train_step(rs)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert not np.array_equal(np.asarray(p0),
+                              np.asarray(jax.tree.leaves(rs.params)[0]))
+    with pytest.raises(ValueError, match="epoch_shuffle"):
+        make_tiny_trainer(epoch_shuffle="sometimes")

@@ -200,6 +200,16 @@ class TrainConfig:
     # curve-equivalent on config 4 (docs/RESULTS.md) and ~35% faster
     # end-to-end.
     minibatch_mode: str = "flat"
+    # Epoch shuffle cadence ("each" | "once"). "each": a fresh
+    # permutation gather every epoch (RLlib's behavior). "once": one
+    # permutation per update; the ppo_epochs epochs revisit the same
+    # minibatch partition (composition is still re-randomized every
+    # update). On TPU the per-epoch gather materializes a full copy of
+    # the batch, measured ~0.53 ms of the 4.6 ms SGD phase at BASELINE
+    # config 4 (benchmarks/ab_sgd.py FULL vs NOPERM); "once" removes
+    # all but the first. Curve-equivalence on config 4 is recorded in
+    # docs/RESULTS.md before this may become a preset default.
+    epoch_shuffle: str = "each"
     # Split each minibatch gradient into K equal micro-batch grads,
     # averaged before ONE optimizer step — the same SGD trajectory up
     # to f32 summation order (advantage normalization is hoisted to

@@ -166,11 +166,14 @@ def minibatch_epochs(
     pmean_axis: str | None = None,
     micro_batches: int = 1,
     value_and_grad_fn: Callable | None = None,
+    reshuffle_each_epoch: bool = True,
 ):
     """The PPO epoch/minibatch SGD scaffold as two nested ``lax.scan``s.
 
     Each epoch draws a fresh shuffle via ``make_minibatches`` and scans
-    gradient updates over the minibatch axis; ``pmean_axis`` (under
+    gradient updates over the minibatch axis
+    (``reshuffle_each_epoch=False`` draws ONE shuffle per call instead
+    — ``TrainConfig.epoch_shuffle="once"``); ``pmean_axis`` (under
     ``shard_map``) syncs grads/metrics across data shards. Returns
     ``(params, opt_state, key, losses)`` with losses stacked
     ``[num_epochs, M, 1 + len(aux)]``-style (tuple of arrays).
@@ -193,10 +196,24 @@ def minibatch_epochs(
 
     vg = value_and_grad_fn or jax.value_and_grad(loss_fn, has_aux=True)
 
+    fixed_minibatches = None
+    if not reshuffle_each_epoch:
+        # "once" mode: one permutation per update; every epoch revisits
+        # the same minibatch partition. Removes ppo_epochs-1 full-batch
+        # permutation gathers (~0.53 ms of the 4.6 ms SGD phase at
+        # BASELINE config 4, benchmarks/ab_sgd.py FULL vs NOPERM).
+        # With num_epochs == 1 this is draw-for-draw identical to
+        # reshuffling (tests/test_ppo.py).
+        key, pkey = jax.random.split(key)
+        fixed_minibatches = make_minibatches(pkey)
+
     def epoch(carry, _):
         params, opt_state, key = carry
-        key, pkey = jax.random.split(key)
-        minibatches = make_minibatches(pkey)
+        if fixed_minibatches is None:
+            key, pkey = jax.random.split(key)
+            minibatches = make_minibatches(pkey)
+        else:
+            minibatches = fixed_minibatches
 
         def mb_update(c, mb):
             params, opt_state = c

@@ -48,6 +48,13 @@ def main(argv=None) -> None:
                         "per-sample permutation (RLlib-style), 'env' = "
                         "permute env-trajectories (TPU-fast, "
                         "curve-equivalent)")
+    p.add_argument("--epoch-shuffle", choices=["each", "once"],
+                   default="each",
+                   help="'once' draws one minibatch permutation per "
+                        "update and reuses it across ppo_epochs epochs "
+                        "(drops the per-epoch full-batch gather; "
+                        "curve-equivalent on config 4, "
+                        "docs/RESULTS.md)")
     p.add_argument("--bootstrap-truncated", action="store_true",
                    help="bootstrap value targets through time-limit "
                         "truncations (RLlib behavior) instead of treating "
@@ -136,6 +143,7 @@ def main(argv=None) -> None:
         shaping_coef=args.shaping_coef,
         mask_actions=args.mask_actions,
         minibatch_mode=args.minibatch_mode,
+        epoch_shuffle=args.epoch_shuffle,
         bootstrap_truncated=args.bootstrap_truncated,
         kl_coeff=args.kl_coeff,
         kl_target=args.kl_target,

@@ -243,6 +243,7 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
             num_epochs=tcfg.ppo_epochs,
             tx=tx,
             pmean_axis=None if mesh is None else DATA_AXIS,
+            reshuffle_each_epoch=(tcfg.epoch_shuffle == "each"),
         )
         mean_kl = losses[4].mean()
         kl_coeff = adaptive_kl_coeff(tcfg, member.kl_coeff, mean_kl)

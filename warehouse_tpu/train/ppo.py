@@ -124,6 +124,10 @@ def make_train(
         raise ValueError(
             f"minibatch_mode must be 'flat' or 'env', got "
             f"{tcfg.minibatch_mode!r}")
+    if tcfg.epoch_shuffle not in ("each", "once"):
+        raise ValueError(
+            f"epoch_shuffle must be 'each' or 'once', got "
+            f"{tcfg.epoch_shuffle!r}")
     if tcfg.minibatch_mode == "env" and b_local % tcfg.num_minibatches:
         raise ValueError(
             f"minibatch_mode='env' needs B_local={b_local} divisible by "
@@ -430,6 +434,7 @@ def make_train(
             pmean_axis=DATA_AXIS if mesh is not None else None,
             micro_batches=tcfg.micro_batches,
             value_and_grad_fn=vg_fn,
+            reshuffle_each_epoch=(tcfg.epoch_shuffle == "each"),
         )
 
         mean_kl = losses[4].mean()

@@ -305,6 +305,7 @@ def make_train_rnn(
             num_epochs=tcfg.ppo_epochs,
             tx=tx,
             pmean_axis=DATA_AXIS if mesh is not None else None,
+            reshuffle_each_epoch=(tcfg.epoch_shuffle == "each"),
         )
 
         mean_kl = losses[4].mean()
