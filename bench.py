@@ -9,8 +9,12 @@ Paths reported (BASELINE.json configs 2 & 4):
   in-step (the general-policy rollout path), B=8192.
 - ``ppo``     — the TRAINED path: full Anakin PPO update (rollout + GAE +
   4 epochs x 4 minibatches) at BASELINE config 4 (4096 envs, 9x9, 4
-  agents), minibatch_mode="env" + epoch_shuffle="once"
-  (docs/RESULTS.md: both curve-equivalent at config 4).
+  agents), with DEFAULT TrainConfig SGD cadence (minibatch_mode="env" +
+  epoch_shuffle="once" are the defaults as of round 3 — curve-proven
+  equivalent to the RLlib cadence, docs/RESULTS.md; so this number is
+  what a default ``python -m warehouse_tpu.train`` run gets).
+- ``impala``  — trained V-trace actor-learner, same config-4 shapes.
+- ``ppo_rnn`` — trained recurrent (GRU) PPO, same config-4 shapes.
 
 North-star metric (BASELINE.json:2): env-steps/s per chip; the aggregate
 target is >10M env-steps/s on v5e-16, i.e. 625k/chip — ``vs_baseline``
@@ -42,7 +46,8 @@ PER_CHIP_TARGET = 10_000_000 / 16
 # (see main) — a hang or crash degrades that one path to null instead
 # of sinking the whole bench (observed 2026-08-20: the tunnel's compile
 # service went down for >1h while cached programs kept executing).
-PATH_BUDGET_S = {"pallas": 1800, "engine": 900, "ppo": 1500}
+PATH_BUDGET_S = {"pallas": 1800, "engine": 900, "ppo": 1500,
+                 "impala": 1200, "ppo_rnn": 1200}
 
 
 def _progress(msg: str) -> None:
@@ -149,20 +154,33 @@ def bench_engine(jax, jnp):
     return B * T / best
 
 
-def bench_ppo(jax, jnp, backend="pallas"):
+def bench_trained(jax, jnp, family="ppo", backend="pallas"):
+    """Trained-path throughput for one trainer family at BASELINE
+    config 4 shapes, DEFAULT TrainConfig SGD cadence."""
     from warehouse_tpu.config import TrainConfig, medium_config
-    from warehouse_tpu.train.ppo import make_train
 
     tcfg = TrainConfig(num_envs=4096, unroll_length=16,
-                       minibatch_mode="env", rollout_backend=backend,
-                       epoch_shuffle="once")
-    trainer = make_train(medium_config(), tcfg)
-    _progress(f"ppo[{backend}]: compiling train_many (config 4) …")
+                       rollout_backend=backend)
+    if family == "ppo":
+        from warehouse_tpu.train.ppo import make_train
+
+        trainer = make_train(medium_config(), tcfg)
+    elif family == "impala":
+        from warehouse_tpu.train.impala import make_train_impala
+
+        trainer = make_train_impala(medium_config(), tcfg)
+    elif family == "ppo_rnn":
+        from warehouse_tpu.train.ppo_rnn import make_train_rnn
+
+        trainer = make_train_rnn(medium_config(), tcfg, arch="gru")
+    else:
+        raise SystemExit(f"unknown trained family {family!r}")
+    _progress(f"{family}[{backend}]: compiling train_many (config 4) …")
     rs = trainer.init(jax.random.PRNGKey(0))
     n = 10
     rs, m = trainer.train_many(rs, n)
     _ = float(m["loss"][-1])
-    _progress(f"ppo[{backend}]: timing …")
+    _progress(f"{family}[{backend}]: timing …")
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
@@ -187,15 +205,16 @@ def run_path(path: str) -> None:
                "n_chips": jax.device_count()}
     elif path == "engine":
         out = {"sps": bench_engine(jax, jnp)}
-    elif path == "ppo":
-        # Trained path: the fused Pallas act-phase backend
-        # (pallas/act.py); falls back to the XLA scan backend.
+    elif path in ("ppo", "impala", "ppo_rnn"):
+        # Trained paths: the fused Pallas act-phase backend
+        # (pallas/act.py); each falls back to the XLA scan backend.
         try:
-            out = {"sps": bench_ppo(jax, jnp, "pallas"),
+            out = {"sps": bench_trained(jax, jnp, path, "pallas"),
                    "backend": "pallas"}
         except Exception as e:
-            _progress(f"ppo pallas backend FAILED: {e!r}")
-            out = {"sps": bench_ppo(jax, jnp, "xla"), "backend": "xla"}
+            _progress(f"{path} pallas backend FAILED: {e!r}")
+            out = {"sps": bench_trained(jax, jnp, path, "xla"),
+                   "backend": "xla"}
     else:
         raise SystemExit(f"unknown path {path!r}")
     print("RESULT " + json.dumps(out))
@@ -226,6 +245,8 @@ def main() -> None:
     pallas = _run_isolated("pallas")
     engine = _run_isolated("engine")
     ppo = _run_isolated("ppo")
+    impala = _run_isolated("impala")
+    ppo_rnn = _run_isolated("ppo_rnn")
 
     pallas_sps = pallas["sps"] if pallas else None
     ep_times = pallas["ep_times"] if pallas else []
@@ -258,6 +279,16 @@ def main() -> None:
                 "ppo_backend": ppo_backend if ppo_sps else None,
                 "ppo_vs_baseline": (
                     round(ppo_sps / PER_CHIP_TARGET, 3) if ppo_sps else None
+                ),
+                "impala_steps_per_s": (
+                    round(impala["sps"]) if impala else None
+                ),
+                "impala_backend": impala["backend"] if impala else None,
+                "ppo_rnn_steps_per_s": (
+                    round(ppo_rnn["sps"]) if ppo_rnn else None
+                ),
+                "ppo_rnn_backend": (
+                    ppo_rnn["backend"] if ppo_rnn else None
                 ),
                 "pallas_episode_s": ep_times,
                 "pallas_episode_spread": (

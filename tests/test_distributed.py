@@ -23,7 +23,8 @@ def free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_training():
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_two_process_training(backend):
     port = free_port()
     n = 2
     env = dict(os.environ)
@@ -31,7 +32,7 @@ def test_two_process_training():
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "_dist_worker.py"),
-             str(i), str(n), str(port)],
+             str(i), str(n), str(port), backend],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env,
         )

@@ -189,27 +189,26 @@ class TrainConfig:
     # Linear entropy-coefficient anneal: entropy_coef → entropy_coef_final
     # over num_updates. Negative = disabled (constant entropy_coef).
     entropy_coef_final: float = -1.0
-    # Minibatch construction for feed-forward PPO ("flat" | "env").
+    # Minibatch construction for feed-forward PPO ("env" | "flat").
+    # "env" (default, and what bench.py measures): permute the ENV axis
+    # per shuffle (B-row gather) so each minibatch is a random set of
+    # env-trajectories — the same composition IMPALA/recurrent-PPO use;
+    # measured curve-equivalent on config 4 (docs/RESULTS.md) and ~35%
+    # faster end-to-end.
     # "flat": RLlib/PureJaxRL-style fresh permutation of all T·B·A
-    # samples every epoch — statistically cleanest, but a 262k-row
-    # random gather per epoch, which on TPU is row-bound and dominates
-    # the update (measured ~11.5 ms/epoch at BASELINE config 4).
-    # "env": permute the ENV axis per epoch (B-row gather, ~64x fewer
-    # rows) so each minibatch is a random set of env-trajectories —
-    # the same composition IMPALA/recurrent-PPO use; measured
-    # curve-equivalent on config 4 (docs/RESULTS.md) and ~35% faster
-    # end-to-end.
-    minibatch_mode: str = "flat"
-    # Epoch shuffle cadence ("each" | "once"). "each": a fresh
-    # permutation gather every epoch (RLlib's behavior). "once": one
-    # permutation per update; the ppo_epochs epochs revisit the same
-    # minibatch partition (composition is still re-randomized every
-    # update). On TPU the per-epoch gather materializes a full copy of
-    # the batch, measured ~0.53 ms of the 4.6 ms SGD phase at BASELINE
-    # config 4 (benchmarks/ab_sgd.py FULL vs NOPERM); "once" removes
-    # all but the first. Curve-equivalence on config 4 is recorded in
-    # docs/RESULTS.md before this may become a preset default.
-    epoch_shuffle: str = "each"
+    # samples — statistically cleanest, but a 262k-row random gather
+    # per epoch, which on TPU is row-bound and dominates the update
+    # (measured ~11.5 ms/epoch at BASELINE config 4). Use
+    # ``--rllib-cadence`` to restore the reference stack's behavior.
+    minibatch_mode: str = "env"
+    # Epoch shuffle cadence ("once" | "each"). "once" (default, and
+    # what bench.py measures): one permutation per update; the
+    # ppo_epochs epochs revisit the same minibatch partition
+    # (composition is still re-randomized every update) — measured
+    # +11% trained throughput, curve-equivalent on config 4
+    # (docs/RESULTS.md round-2 session 5). "each": a fresh permutation
+    # gather every epoch (RLlib's behavior; ``--rllib-cadence``).
+    epoch_shuffle: str = "once"
     # Split each minibatch gradient into K equal micro-batch grads,
     # averaged before ONE optimizer step — the same SGD trajectory up
     # to f32 summation order (advantage normalization is hoisted to
@@ -272,6 +271,26 @@ class TrainConfig:
     checkpoint_every: int = 50
     checkpoint_dir: str = "checkpoints"
     metrics_path: str = "metrics.jsonl"
+
+    def __post_init__(self) -> None:
+        # Central validation: every trainer family (ppo, ppo_rnn, pbt,
+        # impala) consumes these fields, so a typo'd value must fail at
+        # construction, not silently select a fallback branch deep in
+        # one family's make_train (round-2 advisor finding).
+        checks = {
+            "minibatch_mode": ("flat", "env"),
+            "epoch_shuffle": ("each", "once"),
+            "rollout_backend": ("xla", "pallas"),
+            "grad_backend": ("xla", "pallas"),
+            "model_dtype": ("float32", "bfloat16"),
+        }
+        for field, allowed in checks.items():
+            val = getattr(self, field)
+            if val not in allowed:
+                raise ValueError(
+                    f"{field} must be one of {allowed}, got {val!r}")
+        if self.micro_batches < 1:
+            raise ValueError("micro_batches must be >= 1")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

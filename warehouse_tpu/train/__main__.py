@@ -43,18 +43,25 @@ def main(argv=None) -> None:
     p.add_argument("--mask-actions", action="store_true",
                    help="mask wall/out-of-grid moves at the policy logits")
     p.add_argument("--minibatch-mode", choices=["flat", "env"],
-                   default="flat",
-                   help="PPO epoch shuffle granularity: 'flat' = fresh "
-                        "per-sample permutation (RLlib-style), 'env' = "
-                        "permute env-trajectories (TPU-fast, "
-                        "curve-equivalent)")
+                   default="env",
+                   help="PPO epoch shuffle granularity: 'env' (default) "
+                        "= permute env-trajectories (TPU-fast, "
+                        "curve-equivalent), 'flat' = fresh per-sample "
+                        "permutation (RLlib-style)")
     p.add_argument("--epoch-shuffle", choices=["each", "once"],
-                   default="each",
-                   help="'once' draws one minibatch permutation per "
-                        "update and reuses it across ppo_epochs epochs "
-                        "(drops the per-epoch full-batch gather; "
-                        "curve-equivalent on config 4, "
-                        "docs/RESULTS.md)")
+                   default="once",
+                   help="'once' (default) draws one minibatch "
+                        "permutation per update and reuses it across "
+                        "ppo_epochs epochs (drops the per-epoch "
+                        "full-batch gather; curve-equivalent on "
+                        "config 4, docs/RESULTS.md); 'each' = RLlib's "
+                        "per-epoch reshuffle")
+    p.add_argument("--rllib-cadence", action="store_true",
+                   help="restore the reference stack's SGD cadence: "
+                        "--minibatch-mode flat --epoch-shuffle each "
+                        "(statistically cleanest, measurably slower on "
+                        "TPU; both alternatives are curve-proven "
+                        "equivalent in docs/RESULTS.md)")
     p.add_argument("--bootstrap-truncated", action="store_true",
                    help="bootstrap value targets through time-limit "
                         "truncations (RLlib behavior) instead of treating "
@@ -111,6 +118,9 @@ def main(argv=None) -> None:
                         "(0 = off); RLlib evaluation_interval parity")
     p.add_argument("--eval-episodes", type=int, default=128)
     args = p.parse_args(argv)
+    if args.rllib_cadence:
+        args.minibatch_mode = "flat"
+        args.epoch_shuffle = "each"
 
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
