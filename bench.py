@@ -164,6 +164,11 @@ def bench_trained(jax, jnp, family="ppo", backend="pallas"):
     if family == "ppo":
         from warehouse_tpu.train.ppo import make_train
 
+        if backend == "pallas":
+            # The fully fused trained path: act kernel + one-launch
+            # SGD-phase kernel (pallas/sgd.py) — 12.5M env-steps/s
+            # measured vs 8.3M with XLA grads (docs/RESULTS.md r3s1).
+            tcfg = tcfg.replace(grad_backend="pallas")
         trainer = make_train(medium_config(), tcfg)
     elif family == "impala":
         from warehouse_tpu.train.impala import make_train_impala

@@ -52,13 +52,14 @@ def main() -> None:
                                     grad_backend="pallas",
                                     micro_batches=4),
         "micro4": base.replace(micro_batches=4),
-        "grad_b8k": base.replace(rollout_backend="pallas",
-                                 pallas_block=args.block,
-                                 grad_backend="pallas", grad_block=8192),
-        "grad_b16k": base.replace(rollout_backend="pallas",
+        "both_r8": base.replace(rollout_backend="pallas",
+                                pallas_block=args.block,
+                                grad_backend="pallas",
+                                sgd_rows_per_block=8),
+        "both_e512": base.replace(rollout_backend="pallas",
                                   pallas_block=args.block,
                                   grad_backend="pallas",
-                                  grad_block=16384),
+                                  sgd_block_envs=512),
     }
     if args.only:
         names = args.only.split(",")

@@ -468,11 +468,15 @@ def test_micro_batches_divisibility_raises():
 def test_epoch_shuffle_once_single_epoch_matches_each():
     """With ppo_epochs=1, epoch_shuffle='once' is draw-for-draw identical
     to 'each' (both split the carry key once and build one shuffle), so
-    the whole training trajectory must match bit-exactly."""
+    the whole training trajectory must match bit-exactly. Pinned to
+    minibatch_mode='flat': env/once is implemented as the pre-rollout
+    env-STATE permutation (train/ppo.py use_state_shuffle), a different
+    (equivalent-composition) draw stream from env/each's gather."""
     import jax
 
-    ta = make_tiny_trainer(ppo_epochs=1)
-    tb = make_tiny_trainer(ppo_epochs=1, epoch_shuffle="once")
+    ta = make_tiny_trainer(ppo_epochs=1, minibatch_mode="flat")
+    tb = make_tiny_trainer(ppo_epochs=1, minibatch_mode="flat",
+                           epoch_shuffle="once")
     ra = ta.init(jax.random.PRNGKey(5))
     rb = tb.init(jax.random.PRNGKey(5))
     for _ in range(3):

@@ -123,15 +123,20 @@ def test_rnn_evaluate_policy_carry_threading():
     assert np.isfinite(ev["mean_episode_return"])
 
 
-def test_rnn_epoch_shuffle_once_single_epoch_matches_each():
-    """epoch_shuffle='once' with ppo_epochs=1 is draw-for-draw identical
-    to 'each' on the recurrent path (same shared scaffold contract as
-    the feed-forward test in test_ppo.py)."""
+def test_rnn_epoch_shuffle_once_single_env_matches_each():
+    """epoch_shuffle='once' is implemented as a pre-rollout env-STATE
+    permutation (train/ppo_rnn.py use_state_shuffle) whose perm key is
+    fold_in-derived, leaving the main draw stream unadvanced. At
+    num_envs=1 the permutation is the identity and 'each' with
+    ppo_epochs=1 consumes the same single scaffold key split — the two
+    modes must then be draw-for-draw identical, anchoring the stream
+    bookkeeping."""
     import jax
     import numpy as np
 
-    ta = make_rnn_trainer(ppo_epochs=1)
-    tb = make_rnn_trainer(ppo_epochs=1, epoch_shuffle="once")
+    kw = dict(ppo_epochs=1, num_envs=1, num_minibatches=1)
+    ta = make_rnn_trainer(**kw, epoch_shuffle="each")
+    tb = make_rnn_trainer(**kw, epoch_shuffle="once")
     ra = ta.init(jax.random.PRNGKey(7))
     rb = tb.init(jax.random.PRNGKey(7))
     for _ in range(2):
@@ -141,3 +146,19 @@ def test_rnn_epoch_shuffle_once_single_epoch_matches_each():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for k in ma:
         assert float(ma[k]) == float(mb[k]), k
+
+
+def test_rnn_epoch_shuffle_once_learns():
+    """State-shuffled 'once' mode at num_envs>1: step runs, metrics
+    finite, params move."""
+    import jax
+    import numpy as np
+
+    trainer = make_rnn_trainer(epoch_shuffle="once")
+    rs = trainer.init(jax.random.PRNGKey(0))
+    p0 = jax.tree.leaves(rs.params)[0].copy()
+    rs, m = trainer.train_step(rs)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert not np.array_equal(
+        np.asarray(p0), np.asarray(jax.tree.leaves(rs.params)[0]))

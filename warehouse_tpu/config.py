@@ -256,16 +256,27 @@ class TrainConfig:
     rollout_backend: str = "xla"
     pallas_block: int = 512       # envs per kernel block (VMEM residency)
     pallas_interpret: bool = False  # CI: run the kernel in interpret mode
-    # SGD-phase backend ("xla" | "pallas"). "pallas" computes each
-    # minibatch's clipped-PPO loss + gradient in one fused Mosaic kernel
-    # (warehouse_tpu/pallas/grad.py): forward on the MXU with
-    # activations VMEM-resident, hand-derived backward, cross-block
-    # grad accumulation — obs read from HBM exactly once per grad step.
-    # Matches jax.value_and_grad to f32 accumulation order
-    # (tests/test_grad_kernel.py). Same envelope as the act kernel
-    # (mlp, float32, no masking, shared policy).
+    # SGD-phase backend ("xla" | "pallas"). "pallas" runs the ENTIRE
+    # epoch/minibatch SGD phase as one fused Mosaic kernel
+    # (warehouse_tpu/pallas/sgd.py): it consumes the act kernel's
+    # batch-minor obs trajectory DIRECTLY (zero transposes/gathers),
+    # streams minibatch blocks from HBM while gradients accumulate in
+    # VMEM, and applies the exact optax clip+Adam update in-kernel with
+    # params/moments VMEM-resident across all ppo_epochs x
+    # num_minibatches steps. Minibatches are contiguous env ranges;
+    # composition is randomized by permuting the ENV STATE once per
+    # update before the rollout ("shuffle the envs, not the data" —
+    # distributionally identical to the env-mode permutation gather).
+    # Under a mesh the same kernel emits per-minibatch grads instead so
+    # XLA pmeans them before the optimizer. Envelope: mlp, float32,
+    # shared policy, epoch_shuffle="once", micro_batches=1,
+    # flat_optimizer=False; action masking IS supported. Matches the
+    # XLA SGD phase to f32 accumulation order (tests/test_grad_kernel).
     grad_backend: str = "xla"
-    grad_block: int = 4096        # samples per grad-kernel grid block
+    # SGD-kernel block geometry (chip sweep, docs/RESULTS.md r3s1:
+    # 1024/8 = 5.22 ms vs 1024/4 = 5.33 vs 512/4 = 5.90 at config 4).
+    sgd_block_envs: int = 1024    # env columns per SGD-kernel block
+    sgd_rows_per_block: int = 8   # (t, a) row-slots per SGD-kernel block
     # Infra
     seed: int = 0
     checkpoint_every: int = 50

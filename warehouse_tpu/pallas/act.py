@@ -677,7 +677,7 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
                       value=talp[..., 2], reward=talp[..., 3],
                       delivered=talp[..., 4].astype(jnp.int32).sum(-1),
                       truncated=steps >= cfg.max_steps, mask=mask,
-                      raw_reward=talp[..., 3])
+                      raw_reward=talp[..., 3], obs_bm=obs_rows)
     return new_state, roll, reset_keys[-1], next_key, new_carry
 
 
@@ -694,6 +694,11 @@ class ActRollout(NamedTuple):
     #                       when the trainer runs unmasked)
     raw_reward: jax.Array  # float32[T, B, A] pre-shaping env reward
     #                        (== reward when shaping is off)
+    obs_bm: jax.Array | None = None
+    # float32[T*A*Dp, B] — the kernel's NATIVE batch-minor obs
+    # trajectory, unchanged. The fused SGD kernel (pallas/sgd.py)
+    # consumes this directly (zero-copy); when only ``obs`` is used,
+    # XLA dead-code-eliminates this alias and vice versa.
 
 
 def extract_mlp_weights(params) -> tuple:
@@ -883,5 +888,5 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
     roll = ActRollout(obs=obs, action=action, log_prob=log_prob,
                       value=value, reward=reward, delivered=delivered,
                       truncated=truncated, mask=mask,
-                      raw_reward=raw_reward)
+                      raw_reward=raw_reward, obs_bm=obs_rows)
     return new_state, roll, reset_keys[-1], next_key

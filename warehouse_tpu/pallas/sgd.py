@@ -1,0 +1,661 @@
+"""Fused PPO SGD-phase Pallas kernel (round-3 rewrite of pallas/grad.py).
+
+The round-2 fused loss+backward kernel was numerically right but ~1.8 ms
+SLOWER than XLA's fwd+bwd (docs/RESULTS.md session 3b). Its own
+post-mortem named three taxes: a [N, D] -> [D, N] obs transpose per call
+that XLA cannot fuse into the kernel (~28 MB x 16/update), 16 separate
+pallas_call launches per update, and MXU K underfill. This module kills
+the first two BY CONSTRUCTION and goes further: the ENTIRE SGD phase —
+``ppo_epochs`` x ``num_minibatches`` optimizer steps, each a full
+clipped-PPO loss + hand-derived backward + global-norm clip + Adam
+update — runs as ONE ``pallas_call``, with params and Adam moments
+resident in VMEM for the whole phase.
+
+Zero-copy obs: the kernel consumes the act-phase kernel's trajectory
+output (``pallas/act.py`` o_obs, layout ``[T*A*Dp, B]`` batch-minor)
+DIRECTLY via BlockSpec index maps — no transpose, no gather, no
+minibatch materialization. Minibatches are CONTIGUOUS env-column ranges;
+the trainer randomizes composition by permuting the env axis of the
+*environment state* once per update before the rollout ("shuffle the
+envs, not the data" — distributionally identical to the round-2
+``minibatch_mode="env"`` + ``epoch_shuffle="once"`` permutation gather,
+since env slots are exchangeable; curve proof in docs/RESULTS.md).
+
+Per optimizer step s (grid dim 0; minibatch ``s % M`` of epoch
+``s // M``), the grid's inner dim streams the minibatch's obs/field
+blocks from HBM (auto double-buffered) while gradients accumulate in
+VMEM scratch; at the last block the kernel applies the EXACT
+``optax.chain(clip_by_global_norm, adam)`` update — same formulas, same
+tie rules, bias corrections precomputed per step — to the VMEM-resident
+params. Loss/backward math is the round-2 kernel's (jax.grad tie
+conventions for min/max/clip, epoch-0 exact surrogate ties), extended
+with in-kernel action masking (the mask rides in the fields rows).
+
+Scope (the trainer gates on this): ActorCriticMLP, float32, shared
+policy, ``epoch_shuffle="once"`` composition, ``flat_optimizer=False``,
+``micro_batches=1`` (block accumulation IS micro-batching), advantages
+pre-normalized per minibatch. Action masking IS supported (unlike the
+round-2 kernel). Multi-device: ``ppo_minibatch_grads_pallas`` runs the
+same body per minibatch (grads out, optimizer in XLA after the
+``pmean``) so the fast path composes with ``shard_map``.
+
+Reference anchor: replaces RLlib ``Policy.learn_on_batch`` /
+``Learner.update`` minibatch SGD (SURVEY.md §3.1 — reference mount
+empty, see SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .act import _pad8, extract_mlp_weights
+
+NEG_INF = -1e9          # masked-logit floor (ops/ppo_update.py)
+
+# Fields-array row layout per (t, a) slot (16 rows, 8-aligned like the
+# act kernel's talp): 0 action, 1 old_log_prob, 2 old_value,
+# 3 advantage (pre-normalized per minibatch), 4 target, 5-9 action
+# validity mask (1.0/0.0), 10-15 zero padding.
+FIELD_ROWS = 16
+
+
+def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
+                 ent_coef, kl_coeff, inv_n, x, f, weights):
+    """Loss gradient contribution of one sample block.
+
+    ``x [Dp, N]`` obs rows (rows >= D ignored), ``f [16, N]`` fields
+    rows, ``weights = (hidden [(w, b), ...], (wh, bh))`` CURRENT values.
+    Returns ``(dhidden [(dw, db), ...], dwh, dbh, metric_sums [4])`` —
+    grads are d(mean-loss over the minibatch)/dW restricted to this
+    block (summing blocks gives the exact minibatch gradient);
+    metric_sums are per-sample sums of (min_pg, sq_max, entropy, kl).
+
+    The backward math mirrors ``jax.grad``'s tie conventions exactly
+    (jnp.minimum routes ties to the first arg; jnp.clip's boundary
+    gradient is 1) — epoch 0 has ratio == 1 everywhere, an exact tie of
+    the surrogate branches, so these rules are load-bearing.
+    """
+    hidden, (wh, bh) = weights
+
+    # ---------------- forward (activations stay live in VMEM) --------
+    h = x[:D, :]
+    hs = []
+    xin = h
+    for w, b in hidden:
+        z = jax.lax.dot_general(
+            w, h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b
+        h = jnp.tanh(z)
+        hs.append(h)
+    out = jax.lax.dot_general(
+        wh, h, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bh            # [8, N]
+
+    logit = [out[r:r + 1, :] for r in range(n_act)]
+    if mask_act:
+        valid = [f[5 + r:6 + r, :] for r in range(n_act)]   # 1.0/0.0
+        logit = [jnp.where(valid[r] > 0.5, logit[r],
+                           jnp.float32(NEG_INF))
+                 for r in range(n_act)]
+    v = out[n_act:n_act + 1, :]
+
+    # ---------------- loss chain ------------------------------------
+    mx = logit[0]
+    for r in range(1, n_act):
+        mx = jnp.maximum(mx, logit[r])
+    ssum = jnp.zeros_like(mx)
+    for r in range(n_act):
+        ssum = ssum + jnp.exp(logit[r] - mx)
+    lse = mx + jnp.log(ssum)
+    logp = [logit[r] - lse for r in range(n_act)]
+    p = [jnp.exp(lp_) for lp_ in logp]
+
+    a = f[0:1, :]
+    onehot = [(a == float(r)).astype(jnp.float32) for r in range(n_act)]
+    lp = jnp.zeros_like(mx)
+    for r in range(n_act):
+        lp = lp + onehot[r] * logp[r]
+
+    old_lp = f[1:2, :]
+    old_v = f[2:3, :]
+    adv = f[3:4, :]
+    tgt = f[4:5, :]
+
+    ratio = jnp.exp(lp - old_lp)
+    r_clip = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+    pg1 = ratio * adv
+    pg2 = r_clip * adv
+    min_pg = jnp.minimum(pg1, pg2)
+
+    v_err = v - tgt
+    v_clipped = old_v + jnp.clip(v - old_v, -clip_eps, clip_eps)
+    vc_err = v_clipped - tgt
+    sq1 = v_err * v_err
+    sq2 = vc_err * vc_err
+    sq_max = jnp.maximum(sq1, sq2)
+
+    ent = jnp.zeros_like(mx)
+    for r in range(n_act):
+        ent = ent - p[r] * logp[r]
+
+    # Metric rows kept lane-shaped ([1, N]) — the kernel accumulates
+    # them row-wise (no scalar VMEM writes); the wrapper sums lanes.
+    metric_rows = (min_pg, sq_max, ent, old_lp - lp)
+
+    # ---------------- backward --------------------------------------
+    use1 = (pg1 <= pg2).astype(jnp.float32)
+    inclip = ((ratio >= 1.0 - clip_eps)
+              & (ratio <= 1.0 + clip_eps)).astype(jnp.float32)
+    sel = use1 + (1.0 - use1) * inclip
+    d_lp = -(adv * ratio * sel + kl_coeff) * inv_n
+
+    d_logit = [
+        d_lp * (onehot[r] - p[r]) + ent_coef * inv_n * p[r]
+        * (logp[r] + ent)
+        for r in range(n_act)
+    ]
+    if mask_act:
+        # Forward floored invalid logits via where(valid, z, -1e9);
+        # its gradient selects: d z = d z_masked * valid.
+        d_logit = [d_logit[r] * valid[r] for r in range(n_act)]
+    usem = (sq1 >= sq2).astype(jnp.float32)
+    invc = ((v - old_v >= -clip_eps)
+            & (v - old_v <= clip_eps)).astype(jnp.float32)
+    d_v = value_coef * inv_n * (usem * v_err
+                                + (1.0 - usem) * vc_err * invc)
+
+    n_pad = wh.shape[0] - n_act - 1
+    d_out = jnp.concatenate(
+        d_logit + [d_v] + [jnp.zeros_like(d_v)] * n_pad, axis=0)
+
+    h_last = hs[-1]
+    dwh = jax.lax.dot_general(
+        d_out, h_last, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbh = jnp.sum(d_out, axis=1, keepdims=True)
+
+    dh = jax.lax.dot_general(
+        wh, d_out, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dhidden = [None] * len(hidden)
+    for li in range(len(hidden) - 1, -1, -1):
+        h_li = hs[li]
+        dz = dh * (1.0 - h_li * h_li)
+        prev = xin if li == 0 else hs[li - 1]
+        dw = jax.lax.dot_general(
+            dz, prev, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db = jnp.sum(dz, axis=1, keepdims=True)
+        dhidden[li] = (dw, db)
+        if li > 0:
+            dh = jax.lax.dot_general(
+                hidden[li][0], dz, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return dhidden, dwh, dbh, metric_rows
+
+
+def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
+                nbe: int, n_blk: int, n_steps: int, mb_n: int,
+                clip_eps: float, value_coef: float,
+                max_grad_norm: float, b1: float, b2: float, eps: float,
+                mask_act: bool, *refs):
+    """Fused-phase kernel body; grid = (n_steps, n_blk).
+
+    refs: scal_steps SMEM [n_steps, 4] (lr, 1-b1^t, 1-b2^t, 0),
+    scal_glob SMEM [1, 4] (ent_coef, kl_coeff, 0, 0),
+    obs block [k_ta*Dp, blkB], fields block [k_ta*16, blkB],
+    params in (w, b per hidden + wh, bh), m in (same), v in (same),
+    outs: params, m, v (same shapes), metrics block [8, blkB] of
+    per-lane partial sums (wrapper sums lanes);
+    scratch: p/m/v/g working copies (same shapes) + macc [8, blkB].
+    """
+    n_t = 2 * n_hidden + 2              # tensors per params-like group
+    it = iter(refs)
+    scal_steps = next(it)
+    scal_glob = next(it)
+    obs_ref = next(it)
+    f_ref = next(it)
+    p_in = [next(it) for _ in range(n_t)]
+    m_in = [next(it) for _ in range(n_t)]
+    v_in = [next(it) for _ in range(n_t)]
+    p_out = [next(it) for _ in range(n_t)]
+    m_out = [next(it) for _ in range(n_t)]
+    v_out = [next(it) for _ in range(n_t)]
+    met_out = next(it)
+    p_scr = [next(it) for _ in range(n_t)]
+    m_scr = [next(it) for _ in range(n_t)]
+    v_scr = [next(it) for _ in range(n_t)]
+    g_scr = [next(it) for _ in range(n_t)]
+    macc = next(it)
+
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    Dp = _pad8(D)
+
+    @pl.when((s == 0) & (j == 0))
+    def _load():
+        for dst, src in zip(p_scr + m_scr + v_scr,
+                            p_in + m_in + v_in):
+            dst[...] = src[...]
+
+    @pl.when(j == 0)
+    def _zero():
+        for g in g_scr:
+            g[...] = jnp.zeros(g.shape, jnp.float32)
+        macc[...] = jnp.zeros(macc.shape, jnp.float32)
+
+    ent_coef = scal_glob[0, 0]
+    kl_coeff = scal_glob[0, 1]
+    inv_n = jnp.float32(1.0 / mb_n)
+
+    hidden = [(p_scr[2 * li][...], p_scr[2 * li + 1][...])
+              for li in range(n_hidden)]
+    weights = (hidden, (p_scr[-2][...], p_scr[-1][...]))
+
+    for slot in range(k_ta):
+        x = obs_ref[slot * Dp:(slot + 1) * Dp, :]
+        f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
+        dhidden, dwh, dbh, rows = _block_grads(
+            D, n_act, clip_eps, value_coef, mask_act,
+            ent_coef, kl_coeff, inv_n, x, f, weights)
+        for li, (dw, db) in enumerate(dhidden):
+            g_scr[2 * li][...] += dw
+            g_scr[2 * li + 1][...] += db
+        g_scr[-2][...] += dwh
+        g_scr[-1][...] += dbh
+        for r, row in enumerate(rows):
+            macc[r:r + 1, :] += row
+
+    @pl.when(j == n_blk - 1)
+    def _opt_step():
+        # optax.chain(clip_by_global_norm, adam) EXACTLY: clip scale =
+        # select(norm < max, 1, (g / norm) * max); adam with
+        # precomputed bias corrections; update = -lr * mhat /
+        # (sqrt(vhat) + eps).
+        gs = [g[...] for g in g_scr]
+        ss = jnp.float32(0.0)
+        for g in gs:
+            ss = ss + jnp.sum(g * g)
+        norm = jnp.sqrt(ss)
+        trigger = norm < max_grad_norm
+        lr = scal_steps[s, 0]
+        bc1 = scal_steps[s, 1]
+        bc2 = scal_steps[s, 2]
+        for k in range(n_t):
+            g = gs[k]
+            g = jnp.where(trigger, g, (g / norm) * max_grad_norm)
+            m_new = b1 * m_scr[k][...] + (1.0 - b1) * g
+            v_new = b2 * v_scr[k][...] + (1.0 - b2) * (g * g)
+            m_scr[k][...] = m_new
+            v_scr[k][...] = v_new
+            upd = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+            p_scr[k][...] = p_scr[k][...] - lr * upd
+        met_out[...] = macc[...]
+
+    @pl.when((s == n_steps - 1) & (j == n_blk - 1))
+    def _store():
+        for dst, src in zip(p_out + m_out + v_out,
+                            p_scr + m_scr + v_scr):
+            dst[...] = src[...]
+
+
+def _grads_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
+                  n_blk: int, mb_n: int, clip_eps: float,
+                  value_coef: float, mask_act: bool, *refs):
+    """Single-minibatch grads kernel body; grid = (n_blk,).
+
+    The multi-device variant: grads leave the kernel so XLA can
+    ``pmean`` them across data shards before the optimizer step.
+    refs: scal_glob SMEM [1, 4], obs block, fields block, params
+    (w, b ... wh, bh), outs: grads (same shapes) + metrics [8, blkB]
+    of per-lane partial sums (wrapper sums lanes).
+    """
+    n_t = 2 * n_hidden + 2
+    it = iter(refs)
+    scal_glob = next(it)
+    obs_ref = next(it)
+    f_ref = next(it)
+    p_in = [next(it) for _ in range(n_t)]
+    g_out = [next(it) for _ in range(n_t)]
+    met_out = next(it)
+
+    j = pl.program_id(0)
+    Dp = _pad8(D)
+
+    @pl.when(j == 0)
+    def _zero():
+        for g in g_out:
+            g[...] = jnp.zeros(g.shape, jnp.float32)
+        met_out[...] = jnp.zeros(met_out.shape, jnp.float32)
+
+    ent_coef = scal_glob[0, 0]
+    kl_coeff = scal_glob[0, 1]
+    inv_n = jnp.float32(1.0 / mb_n)
+
+    hidden = [(p_in[2 * li][...], p_in[2 * li + 1][...])
+              for li in range(n_hidden)]
+    weights = (hidden, (p_in[-2][...], p_in[-1][...]))
+
+    for slot in range(k_ta):
+        x = obs_ref[slot * Dp:(slot + 1) * Dp, :]
+        f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
+        dhidden, dwh, dbh, rows = _block_grads(
+            D, n_act, clip_eps, value_coef, mask_act,
+            ent_coef, kl_coeff, inv_n, x, f, weights)
+        for li, (dw, db) in enumerate(dhidden):
+            g_out[2 * li][...] += dw
+            g_out[2 * li + 1][...] += db
+        g_out[-2][...] += dwh
+        g_out[-1][...] += dbh
+        for r, row in enumerate(rows):
+            met_out[r:r + 1, :] += row
+
+
+# --------------------------------------------------------------------
+# Layout helpers: flax params/moments pytree <-> kernel tensor list
+# --------------------------------------------------------------------
+
+def _flat_tensors(tree):
+    """ActorCriticMLP params-structured pytree -> kernel tensor list
+    [w0, b0, w1, b1, ..., wh, bh] with kernels pre-transposed [out, in]
+    and the logits/value heads fused+padded (extract_mlp_weights)."""
+    hidden, (wh, bh) = extract_mlp_weights(tree)
+    out = []
+    for w, b in hidden:
+        out.extend([w, b])
+    out.extend([wh, bh])
+    return out
+
+
+def _unflat_tensors(tensors, template):
+    """Inverse of ``_flat_tensors``: kernel tensor list -> pytree with
+    ``template``'s structure (dict or FrozenDict)."""
+    import flax
+
+    dense = template["params"]
+    names = sorted(dense.keys(), key=lambda s: int(s.split("_")[1]))
+    n_act = dense[names[-2]]["kernel"].shape[1]
+    tree = {"params": {}}
+    for i, name in enumerate(names[:-2]):
+        w, b = tensors[2 * i], tensors[2 * i + 1]
+        tree["params"][name] = {"kernel": jnp.transpose(w),
+                                "bias": b[:, 0]}
+    wh, bh = tensors[-2], tensors[-1]
+    tree["params"][names[-2]] = {
+        "kernel": jnp.transpose(wh[:n_act, :]), "bias": bh[:n_act, 0]}
+    tree["params"][names[-1]] = {
+        "kernel": jnp.transpose(wh[n_act:n_act + 1, :]),
+        "bias": bh[n_act:n_act + 1, 0]}
+    if isinstance(template, flax.core.FrozenDict):
+        tree = flax.core.freeze(tree)
+    return tree
+
+
+def find_adam_state(opt_state):
+    """Locate the ScaleByAdamState inside an
+    ``optax.chain(clip_by_global_norm, adam)`` state. Returns
+    ``(count, mu, nu)``."""
+    found = []
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            found.append(node)
+        elif isinstance(node, tuple):
+            for c in node:
+                rec(c)
+
+    rec(opt_state)
+    if len(found) != 1:
+        raise ValueError(
+            f"expected exactly one ScaleByAdamState, found {len(found)}"
+            " — the fused SGD kernel supports "
+            "optax.chain(clip_by_global_norm, adam) only")
+    st = found[0]
+    return st.count, st.mu, st.nu
+
+
+def rebuild_opt_state(opt_state, new_mu, new_nu, n_steps: int):
+    """New opt_state with updated Adam moments and every ``count``
+    field advanced by ``n_steps`` (covers ScaleByAdamState and the LR
+    schedule's ScaleByScheduleState)."""
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(count=node.count + n_steps,
+                                 mu=new_mu, nu=new_nu)
+        if hasattr(node, "_fields") and "count" in node._fields:
+            return node._replace(count=node.count + n_steps)
+        if isinstance(node, tuple):
+            mapped = tuple(rec(c) for c in node)
+            return type(node)(*mapped) if hasattr(node, "_fields") \
+                else mapped
+        return node
+
+    return rec(opt_state)
+
+
+def _pick_k_ta(ta: int, want: int) -> int:
+    """Largest divisor of ``ta`` that is <= ``want``."""
+    k = min(want, ta)
+    while ta % k:
+        k -= 1
+    return k
+
+
+def _specs_for(shapes, wspec):
+    return [wspec(s.shape) for s in shapes]
+
+
+def ppo_sgd_phase_pallas(
+    params, opt_state, obs_bm, fields, lr_row, bc1_row, bc2_row,
+    ent_coef, kl_coeff, *,
+    num_epochs: int, num_minibatches: int, clip_eps: float,
+    value_coef: float, max_grad_norm: float, mask_actions: bool,
+    obs_dim: int, block_envs: int = 1024, rows_per_block: int = 4,
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Run the ENTIRE PPO SGD phase in one fused Mosaic kernel.
+
+    ``obs_bm float32[T*A*Dp, B]`` — the act kernel's trajectory obs,
+    unchanged; ``fields float32[T*A*16, B]`` — per-(t, a) rows (see
+    FIELD_ROWS; advantages pre-normalized per minibatch); ``lr_row /
+    bc1_row / bc2_row float32[n_steps]`` — per-optimizer-step learning
+    rate and Adam bias corrections ``1 - b^count`` (count continues
+    across updates); minibatch m = env columns
+    ``[m * B/M, (m+1) * B/M)`` — the caller owns composition
+    randomization (permute the ENV STATE before the rollout).
+
+    Returns ``(new_params, new_opt_state, losses)`` with ``losses`` the
+    ``minibatch_epochs`` tuple ``(total, pg, v, ent, kl)`` of
+    ``[num_epochs, M]`` arrays.
+    """
+    ta_dp, B = obs_bm.shape
+    Dp = _pad8(obs_dim)
+    ta = ta_dp // Dp
+    M = num_minibatches
+    n_steps = num_epochs * M
+    if B % M:
+        raise ValueError(f"B={B} not divisible by {M} minibatches")
+    mbB = B // M
+    blkB = block_envs
+    while mbB % blkB:
+        blkB //= 2
+    nbe = mbB // blkB
+    k_ta = _pick_k_ta(ta, rows_per_block)
+    n_rb = ta // k_ta
+    n_blk = n_rb * nbe
+    mb_n = mbB * ta                       # samples per minibatch
+
+    p_list = _flat_tensors(params)
+    count, mu, nu = find_adam_state(opt_state)
+    m_list = _flat_tensors(mu)
+    v_list = _flat_tensors(nu)
+    n_hidden = (len(p_list) - 2) // 2
+    n_act = params["params"][sorted(
+        params["params"].keys(),
+        key=lambda s: int(s.split("_")[1]))[-2]]["kernel"].shape[1]
+
+    scal_steps = jnp.stack(
+        [lr_row, bc1_row, bc2_row, jnp.zeros_like(lr_row)], axis=1)
+    scal_glob = jnp.stack([
+        jnp.asarray(ent_coef, jnp.float32),
+        jnp.asarray(kl_coeff, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 4)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda s, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    obs_spec = pl.BlockSpec(
+        (k_ta * Dp, blkB),
+        lambda s, j: (j // nbe, (s % M) * nbe + j % nbe),
+        memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec(
+        (k_ta * FIELD_ROWS, blkB),
+        lambda s, j: (j // nbe, (s % M) * nbe + j % nbe),
+        memory_space=pltpu.VMEM)
+    met_spec = pl.BlockSpec((8, blkB), lambda s, j: (s, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM),
+         pl.BlockSpec(memory_space=pltpu.SMEM),
+         obs_spec, f_spec]
+        + _specs_for(p_list, wspec) + _specs_for(m_list, wspec)
+        + _specs_for(v_list, wspec)
+    )
+    out_specs = (
+        _specs_for(p_list, wspec) + _specs_for(m_list, wspec)
+        + _specs_for(v_list, wspec) + [met_spec]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(t.shape, jnp.float32)
+         for t in p_list + m_list + v_list]
+        + [jax.ShapeDtypeStruct((n_steps * 8, blkB), jnp.float32)]
+    )
+    scratch = [pltpu.VMEM(t.shape, jnp.float32)
+               for t in p_list * 4] + [pltpu.VMEM((8, blkB),
+                                                  jnp.float32)]
+
+    outs = pl.pallas_call(
+        partial(_sgd_kernel, n_hidden, obs_dim, n_act, k_ta, nbe,
+                n_blk, n_steps, mb_n, clip_eps, value_coef,
+                max_grad_norm, b1, b2, eps, mask_actions),
+        grid=(n_steps, n_blk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scal_steps, scal_glob, obs_bm, fields, *p_list, *m_list, *v_list)
+
+    n_t = len(p_list)
+    new_p = _unflat_tensors(outs[:n_t], params)
+    new_mu = _unflat_tensors(outs[n_t:2 * n_t], params)
+    new_nu = _unflat_tensors(outs[2 * n_t:3 * n_t], params)
+    met = outs[3 * n_t]                               # [n_steps*8, blkB]
+    new_opt = rebuild_opt_state(opt_state, new_mu, new_nu, n_steps)
+
+    sums = met.reshape(num_epochs, M, 8, blkB).sum(axis=-1)
+    pg_loss = -sums[..., 0] / mb_n
+    v_loss = 0.5 * sums[..., 1] / mb_n
+    entropy = sums[..., 2] / mb_n
+    kl = sums[..., 3] / mb_n
+    total = (pg_loss + value_coef * v_loss - ent_coef * entropy
+             + kl_coeff * kl)
+    return new_p, new_opt, (total, pg_loss, v_loss, entropy, kl)
+
+
+def ppo_minibatch_grads_pallas(
+    params, obs_bm, fields, mb_idx: int, ent_coef, kl_coeff, *,
+    num_minibatches: int, clip_eps: float, value_coef: float,
+    mask_actions: bool, obs_dim: int, block_envs: int = 1024,
+    rows_per_block: int = 4, interpret: bool = False,
+):
+    """One minibatch's exact loss + gradient from the act kernel's
+    native-layout trajectory (multi-device variant: the caller pmeans
+    grads and runs the optimizer). ``mb_idx`` is STATIC (the trainer
+    unrolls the epoch/minibatch loop). Returns
+    ``((total, (pg, v, ent, kl)), grads_pytree)`` — the
+    ``jax.value_and_grad(loss_fn, has_aux=True)`` contract.
+    """
+    ta_dp, B = obs_bm.shape
+    Dp = _pad8(obs_dim)
+    ta = ta_dp // Dp
+    M = num_minibatches
+    if B % M:
+        raise ValueError(f"B={B} not divisible by {M} minibatches")
+    mbB = B // M
+    blkB = block_envs
+    while mbB % blkB:
+        blkB //= 2
+    nbe = mbB // blkB
+    k_ta = _pick_k_ta(ta, rows_per_block)
+    n_rb = ta // k_ta
+    n_blk = n_rb * nbe
+    mb_n = mbB * ta
+
+    p_list = _flat_tensors(params)
+    n_hidden = (len(p_list) - 2) // 2
+    n_act = params["params"][sorted(
+        params["params"].keys(),
+        key=lambda s: int(s.split("_")[1]))[-2]]["kernel"].shape[1]
+
+    scal_glob = jnp.stack([
+        jnp.asarray(ent_coef, jnp.float32),
+        jnp.asarray(kl_coeff, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0)]).reshape(1, 4)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    obs_spec = pl.BlockSpec(
+        (k_ta * Dp, blkB),
+        lambda j: (j // nbe, mb_idx * nbe + j % nbe),
+        memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec(
+        (k_ta * FIELD_ROWS, blkB),
+        lambda j: (j // nbe, mb_idx * nbe + j % nbe),
+        memory_space=pltpu.VMEM)
+    met_spec = pl.BlockSpec((8, blkB), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM),
+                 obs_spec, f_spec] + _specs_for(p_list, wspec))
+    out_specs = _specs_for(p_list, wspec) + [met_spec]
+    out_shape = ([jax.ShapeDtypeStruct(t.shape, jnp.float32)
+                  for t in p_list]
+                 + [jax.ShapeDtypeStruct((8, blkB), jnp.float32)])
+
+    outs = pl.pallas_call(
+        partial(_grads_kernel, n_hidden, obs_dim, n_act, k_ta, n_blk,
+                mb_n, clip_eps, value_coef, mask_actions),
+        grid=(n_blk,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scal_glob, obs_bm, fields, *p_list)
+
+    grads = _unflat_tensors(outs[:-1], params)
+    sums = outs[-1].sum(axis=-1)
+    pg_loss = -sums[0] / mb_n
+    v_loss = 0.5 * sums[1] / mb_n
+    entropy = sums[2] / mb_n
+    kl = sums[3] / mb_n
+    total = (pg_loss + value_coef * v_loss - ent_coef * entropy
+             + kl_coeff * kl)
+    return (total, (pg_loss, v_loss, entropy, kl)), grads

@@ -92,10 +92,11 @@ def main(argv=None) -> None:
                         "config 4, curve-identical")
     p.add_argument("--grad-backend", choices=["xla", "pallas"],
                    default="xla",
-                   help="'pallas' computes minibatch grads in a fused "
-                        "loss+backward kernel (pallas/grad.py); "
-                        "jax.grad-exact but currently slower than XLA "
-                        "grads — see docs/RESULTS.md")
+                   help="'pallas' runs the ENTIRE epoch/minibatch SGD "
+                        "phase as one fused Mosaic kernel "
+                        "(pallas/sgd.py): zero-copy obs from the act "
+                        "kernel, grads accumulated in VMEM, exact "
+                        "clip+Adam applied in-kernel")
     p.add_argument("--pallas-block", type=int, default=512,
                    help="envs per act-kernel block (VMEM residency)")
     p.add_argument("--micro-batches", type=int, default=1,

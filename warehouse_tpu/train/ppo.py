@@ -138,6 +138,14 @@ def make_train(
             f"micro_batches={tcfg.micro_batches} must divide the "
             f"minibatch sample count {mb_samples}")
 
+    # env/once minibatching is implemented as a pre-rollout env-STATE
+    # permutation + contiguous minibatch ranges (see _train_step_local);
+    # identical composition distribution to the post-rollout gather,
+    # with the gather's read+write traffic gone entirely.
+    use_state_shuffle = (
+        tcfg.minibatch_mode == "env" and tcfg.epoch_shuffle == "once"
+    )
+
     if tcfg.rollout_backend not in ("xla", "pallas"):
         raise ValueError(
             f"rollout_backend must be 'xla' or 'pallas', got "
@@ -171,6 +179,11 @@ def make_train(
             f"{tcfg.grad_backend!r}")
     use_grad_pallas = tcfg.grad_backend == "pallas"
     if use_grad_pallas:
+        # The fused SGD-phase kernel's envelope (pallas/sgd.py): fail
+        # loudly rather than silently fall back. Minibatch composition
+        # is randomized by permuting the ENV STATE once per update
+        # (contiguous env ranges become random env sets), so the only
+        # supported cadence is the default env/once one.
         problems = []
         if policy_groups is not None:
             problems.append("policy_groups")
@@ -178,8 +191,18 @@ def make_train(
             problems.append(f"arch={arch!r}")
         if tcfg.model_dtype != "float32":
             problems.append("model_dtype")
-        if tcfg.mask_actions:
-            problems.append("mask_actions")
+        if tcfg.epoch_shuffle != "once":
+            problems.append("epoch_shuffle != 'once'")
+        if tcfg.minibatch_mode != "env":
+            problems.append("minibatch_mode != 'env'")
+        if tcfg.micro_batches != 1:
+            problems.append("micro_batches != 1 (the kernel's VMEM "
+                            "block accumulation already is one)")
+        if tcfg.flat_optimizer:
+            problems.append("flat_optimizer")
+        if b_local % tcfg.num_minibatches:
+            problems.append(
+                f"B_local={b_local} % num_minibatches")
         if problems:
             raise ValueError(
                 "grad_backend='pallas' unsupported with: "
@@ -231,6 +254,25 @@ def make_train(
         params = rs.params
         key = rs.key.reshape(2)  # this shard's key (uint32[1, 2] block)
 
+        env_state_in, obs_in = rs.env_state, rs.obs
+        if use_state_shuffle:
+            # "Shuffle the envs, not the data": permute the env axis of
+            # the STATE once per update, then take minibatches as
+            # CONTIGUOUS env ranges — random env sets with the same
+            # composition distribution as the env-mode permutation
+            # gather (env slots are exchangeable; each env's trajectory
+            # rides its own state key), at ~1000x less gathered bytes.
+            # This is how minibatch_mode="env" + epoch_shuffle="once"
+            # is implemented for this trainer on BOTH SGD backends, and
+            # what lets the fused SGD kernel (pallas/sgd.py) consume
+            # the act kernel's obs trajectory with zero data movement.
+            # fold_in (not split): the main draw stream is unadvanced,
+            # so rollout draws stay backend-comparable.
+            pkey = jax.random.fold_in(key, 0x5EED)
+            perm = jax.random.permutation(pkey, b_local)
+            env_state_in = jax.tree.map(lambda x: x[perm], env_state_in)
+            obs_in = obs_in[perm]
+
         # Per-sample policy-group ids, broadcast over the env batch.
         gids_ba = jnp.broadcast_to(
             groups_arr[None, :], (b_local, env_cfg.num_agents)
@@ -246,7 +288,7 @@ def make_train(
 
             cfg_noar = env_cfg.replace(auto_reset=False)
             new_env_state, roll, reset_key_last, key = ppo_rollout_pallas(
-                cfg_noar, params, rs.env_state, tcfg.unroll_length, key,
+                cfg_noar, params, env_state_in, tcfg.unroll_length, key,
                 tcfg.pallas_block, tcfg.pallas_interpret,
                 tcfg.mask_actions, tcfg.shaping_coef, tcfg.gamma)
             env_state, last_obs, _ = reset_truncated_batch(
@@ -271,7 +313,7 @@ def make_train(
             delivered = roll.delivered
             raw_rew = roll.raw_reward.mean(axis=(1, 2))
             return _learn(rs, params, key, env_state, last_obs, traj,
-                          delivered, raw_rew)
+                          delivered, raw_rew, obs_bm=roll.obs_bm)
 
         def env_step(carry, _):
             env_state, obs, key = carry
@@ -316,7 +358,7 @@ def make_train(
                                               ts.reward.mean())
 
         (env_state, last_obs, key), (traj, delivered, raw_rew) = jax.lax.scan(
-            env_step, (rs.env_state, rs.obs, key), None,
+            env_step, (env_state_in, obs_in, key), None,
             length=tcfg.unroll_length,
         )
         return _learn(rs, params, key, env_state, last_obs, traj,
@@ -324,7 +366,7 @@ def make_train(
 
     # ---------------------------------------------- learn phase (shared)
     def _learn(rs, params, key, env_state, last_obs, traj, delivered,
-               raw_rew):
+               raw_rew, obs_bm=None):
         gids_ba = jnp.broadcast_to(
             groups_arr[None, :], (b_local, env_cfg.num_agents)
         )
@@ -336,6 +378,18 @@ def make_train(
                 traj.boot_value if tcfg.bootstrap_truncated else None
             ),
         )
+
+        if use_grad_pallas:
+            ent_coef = entropy_coef_at(tcfg, rs.update_idx)
+            params, opt_state, losses = _sgd_phase_pallas(
+                rs, params, traj, advantages, targets, obs_bm, ent_coef)
+            # Mirror the one key split minibatch_epochs consumes on the
+            # XLA path (its unused contiguous-partition pkey) so the
+            # two SGD backends stay on identical draw streams — the
+            # backend-equivalence tests rely on it.
+            key, _ = jax.random.split(key)
+            return _finish(rs, params, opt_state, key, env_state,
+                           last_obs, losses, delivered, raw_rew)
 
         gids_tba = jnp.broadcast_to(
             gids_ba[None], (tcfg.unroll_length, *gids_ba.shape)
@@ -357,14 +411,30 @@ def make_train(
 
             batch = tuple(envmajor(x) for x in fields)
 
-            def make_minibatches(k):
-                perm = jax.random.permutation(k, b_local)
-                return jax.tree.map(
-                    lambda x: x[perm].reshape(
-                        tcfg.num_minibatches, mb_envs * ta, *x.shape[2:]
-                    ),
-                    batch,
-                )
+            if use_state_shuffle:
+                # Composition was already randomized by the env-STATE
+                # permutation before the rollout: minibatches are plain
+                # contiguous env ranges — no gather at all. (The pkey
+                # minibatch_epochs hands us is unused by construction.)
+                def make_minibatches(k):
+                    return jax.tree.map(
+                        lambda x: x.reshape(
+                            tcfg.num_minibatches, mb_envs * ta,
+                            *x.shape[2:]
+                        ),
+                        batch,
+                    )
+
+            else:
+                def make_minibatches(k):
+                    perm = jax.random.permutation(k, b_local)
+                    return jax.tree.map(
+                        lambda x: x[perm].reshape(
+                            tcfg.num_minibatches, mb_envs * ta,
+                            *x.shape[2:]
+                        ),
+                        batch,
+                    )
 
         else:
             # Flatten [T, B, A] → [N]; epochs re-permute all samples.
@@ -378,7 +448,7 @@ def make_train(
 
         ent_coef = entropy_coef_at(tcfg, rs.update_idx)
 
-        if tcfg.micro_batches > 1 or use_grad_pallas:
+        if tcfg.micro_batches > 1:
             # Hoist advantage normalization to per-minibatch so micro
             # grads average to exactly the minibatch grad (see
             # TrainConfig.micro_batches / minibatch_epochs).
@@ -401,29 +471,8 @@ def make_train(
                 logits, value, action, old_lp, old_v, adv, tgt,
                 clip_eps=tcfg.clip_eps, value_coef=tcfg.value_coef,
                 ent_coef=ent_coef, kl_coeff=rs.kl_coeff,
-                normalize_adv=(
-                    tcfg.micro_batches == 1 and not use_grad_pallas),
+                normalize_adv=(tcfg.micro_batches == 1),
             )
-
-        vg_fn = None
-        if use_grad_pallas:
-            # Fused loss+backward kernel (pallas/grad.py): same
-            # (params, mb) -> ((loss, aux), grads) contract as
-            # jax.value_and_grad(loss_fn).
-            from ..pallas.grad import ppo_value_and_grad_pallas
-
-            def vg_fn(prm, mb):
-                obs, action, old_lp, old_v, adv, tgt, gids, mask = mb
-                return ppo_value_and_grad_pallas(
-                    prm, obs.reshape(-1, env_cfg.obs_dim),
-                    action.reshape(-1), old_lp.reshape(-1),
-                    old_v.reshape(-1), adv.reshape(-1),
-                    tgt.reshape(-1),
-                    ent_coef=ent_coef, kl_coeff=rs.kl_coeff,
-                    clip_eps=tcfg.clip_eps,
-                    value_coef=tcfg.value_coef,
-                    block=tcfg.grad_block,
-                    interpret=tcfg.pallas_interpret)
 
         params, opt_state, key, losses = minibatch_epochs(
             params, rs.opt_state, key,
@@ -433,10 +482,112 @@ def make_train(
             tx=tx,
             pmean_axis=DATA_AXIS if mesh is not None else None,
             micro_batches=tcfg.micro_batches,
-            value_and_grad_fn=vg_fn,
             reshuffle_each_epoch=(tcfg.epoch_shuffle == "each"),
         )
+        return _finish(rs, params, opt_state, key, env_state, last_obs,
+                       losses, delivered, raw_rew)
 
+    # -------------------------------- fused Pallas SGD phase (sgd.py)
+    def _sgd_phase_pallas(rs, params, traj, advantages, targets,
+                          obs_bm, ent_coef):
+        """The whole epoch/minibatch SGD phase via pallas/sgd.py.
+
+        Minibatch m = env columns [m*mbB, (m+1)*mbB) — composition was
+        randomized by the env-STATE permutation before the rollout.
+        Single shard: ONE kernel call (params + Adam moments resident
+        in VMEM across all steps). Meshed: the same kernel body emits
+        per-minibatch grads, pmean'd before an XLA optimizer step.
+        """
+        import optax as _optax
+
+        from ..pallas.act import _pad8
+        from ..pallas.sgd import (
+            FIELD_ROWS,
+            find_adam_state,
+            ppo_minibatch_grads_pallas,
+            ppo_sgd_phase_pallas,
+        )
+
+        T, A, D = (tcfg.unroll_length, env_cfg.num_agents,
+                   env_cfg.obs_dim)
+        M = tcfg.num_minibatches
+        mbB = b_local // M
+        Dp = _pad8(D)
+
+        # Advantages normalized per contiguous-env minibatch (the
+        # ppo_losses(normalize_adv=False) convention).
+        adv_g = advantages.reshape(T, M, mbB, A)
+        mean = adv_g.mean(axis=(0, 2, 3), keepdims=True)
+        std = adv_g.std(axis=(0, 2, 3), keepdims=True)
+        adv_n = ((adv_g - mean) / (std + 1e-8)).reshape(T, b_local, A)
+
+        if obs_bm is None:
+            # XLA-rollout fallback: ONE layout pass per update into the
+            # kernel's native [T*A*Dp, B] batch-minor form.
+            obs_bm = jnp.pad(
+                traj.obs.transpose(0, 2, 3, 1),
+                ((0, 0), (0, 0), (0, Dp - D), (0, 0)),
+            ).reshape(T * A * Dp, b_local)
+
+        def row_ta(x):  # [T, B, A] -> [T*A, B]
+            return x.transpose(0, 2, 1).reshape(T * A, b_local)
+
+        frows = [row_ta(traj.action.astype(jnp.float32)),
+                 row_ta(traj.log_prob), row_ta(traj.value),
+                 row_ta(adv_n), row_ta(targets)]
+        for r in range(env_cfg.num_actions):
+            frows.append(row_ta(traj.mask[..., r].astype(jnp.float32)))
+        zeros = jnp.zeros((T * A, b_local), jnp.float32)
+        frows += [zeros] * (FIELD_ROWS - len(frows))
+        fields = jnp.stack(frows, axis=1).reshape(
+            T * A * FIELD_ROWS, b_local)
+
+        n_steps = tcfg.ppo_epochs * M
+        kw = dict(
+            num_minibatches=M, clip_eps=tcfg.clip_eps,
+            value_coef=tcfg.value_coef,
+            mask_actions=tcfg.mask_actions, obs_dim=D,
+            block_envs=tcfg.sgd_block_envs,
+            rows_per_block=tcfg.sgd_rows_per_block,
+            interpret=tcfg.pallas_interpret,
+        )
+        if mesh is None:
+            count0, _, _ = find_adam_state(rs.opt_state)
+            steps = count0 + jnp.arange(n_steps)
+            if callable(lr):
+                lr_row = jax.vmap(lr)(steps).astype(jnp.float32)
+            else:
+                lr_row = jnp.full((n_steps,), lr, jnp.float32)
+            cnt = (steps + 1).astype(jnp.float32)
+            bc1_row = 1.0 - 0.9 ** cnt
+            bc2_row = 1.0 - 0.999 ** cnt
+            return ppo_sgd_phase_pallas(
+                params, rs.opt_state, obs_bm, fields,
+                lr_row, bc1_row, bc2_row, ent_coef, rs.kl_coeff,
+                num_epochs=tcfg.ppo_epochs,
+                max_grad_norm=tcfg.max_grad_norm, **kw)
+
+        # Meshed: unrolled per-minibatch grads + pmean + XLA optimizer.
+        opt_state = rs.opt_state
+        rows = []
+        for s in range(n_steps):
+            (loss, aux), grads = ppo_minibatch_grads_pallas(
+                params, obs_bm, fields, s % M, ent_coef, rs.kl_coeff,
+                **kw)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            aux = jax.lax.pmean(aux, DATA_AXIS)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = _optax.apply_updates(params, updates)
+            rows.append((loss, *aux))
+        losses = tuple(
+            jnp.stack([r[i] for r in rows]).reshape(tcfg.ppo_epochs, M)
+            for i in range(5))
+        return params, opt_state, losses
+
+    # ------------------------------------- metrics + new state (shared)
+    def _finish(rs, params, opt_state, key, env_state, last_obs,
+                losses, delivered, raw_rew):
         mean_kl = losses[4].mean()
         if mesh is not None:
             mean_kl = jax.lax.pmean(mean_kl, DATA_AXIS)

@@ -82,6 +82,14 @@ def make_train_rnn(
         )
     mb_envs = b_local // tcfg.num_minibatches
 
+    # epoch_shuffle="once" is implemented as a pre-rollout env-STATE
+    # permutation + contiguous env-slice minibatches (same trick as the
+    # feed-forward trainer): composition distribution is identical to
+    # the post-rollout env-axis gather, but the gather of the full
+    # [T, B, A, D] trajectory (the RNN path's biggest layout cost)
+    # disappears entirely.
+    use_state_shuffle = tcfg.epoch_shuffle == "once"
+
     if tcfg.rollout_backend not in ("xla", "pallas"):
         raise ValueError(
             f"rollout_backend must be 'xla' or 'pallas', got "
@@ -158,6 +166,15 @@ def make_train_rnn(
         key = rs.key.reshape(2)
         h0 = rs.carry  # rollout-start carry, saved for the loss replay
 
+        env_state_in, obs_in = rs.env_state, rs.obs
+        if use_state_shuffle:
+            # Shuffle the envs, not the data (see make_train_rnn note).
+            pkey = jax.random.fold_in(key, 0x5EED)
+            perm = jax.random.permutation(pkey, b_local)
+            env_state_in = jax.tree.map(lambda x: x[perm], env_state_in)
+            obs_in = obs_in[perm]
+            h0 = jax.tree.map(lambda x: x[perm], h0)
+
         if use_pallas:
             # Fused recurrent act kernel (pallas/act.py): GRU cell runs
             # in-kernel; the boundary reset (env AND carry) runs
@@ -169,7 +186,7 @@ def make_train_rnn(
             cfg_noar = env_cfg.replace(auto_reset=False)
             (new_env_state, roll, reset_key_last, key,
              new_carry) = ppo_rnn_rollout_pallas(
-                cfg_noar, params, rs.env_state, h0, tcfg.unroll_length,
+                cfg_noar, params, env_state_in, h0, tcfg.unroll_length,
                 key, tcfg.pallas_block, tcfg.pallas_interpret,
                 tcfg.mask_actions)
             env_state, last_obs, done_b = reset_truncated_batch(
@@ -229,7 +246,7 @@ def make_train_rnn(
 
         (env_state, last_obs, last_h, key), (traj, delivered, raw_rew) = (
             jax.lax.scan(
-                env_step, (rs.env_state, rs.obs, h0, key), None,
+                env_step, (env_state_in, obs_in, h0, key), None,
                 length=tcfg.unroll_length,
             )
         )
@@ -279,17 +296,25 @@ def make_train_rnn(
 
         def make_minibatches(pkey):
             """Sequence minibatches: slice the ENV axis so each sequence
-            stays contiguous in time; h0 is minibatched along with it."""
-            perm = jax.random.permutation(pkey, b_local)
+            stays contiguous in time; h0 is minibatched along with it.
+            With state-shuffle (epoch_shuffle='once'), composition was
+            already randomized by the pre-rollout env permutation and
+            the slices are CONTIGUOUS — no trajectory gather at all."""
+            if use_state_shuffle:
+                perm = None
+            else:
+                perm = jax.random.permutation(pkey, b_local)
 
             def split_seq(x):        # [T, B, ...] → [M, T, B/M, ...]
-                sh = x[:, perm].reshape(
+                xp = x if perm is None else x[:, perm]
+                sh = xp.reshape(
                     x.shape[0], tcfg.num_minibatches, mb_envs, *x.shape[2:]
                 )
                 return jnp.moveaxis(sh, 1, 0)
 
             def split_h0(x):         # [B, ...] → [M, B/M, ...]
-                return x[perm].reshape(
+                xp = x if perm is None else x[perm]
+                return xp.reshape(
                     tcfg.num_minibatches, mb_envs, *x.shape[1:]
                 )
 
