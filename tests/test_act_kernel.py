@@ -274,3 +274,67 @@ def test_trainer_backend_equivalence_masked():
         for k in mx:
             assert abs(float(mx[k]) - float(mp[k])) < 1e-4, k
     assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
+
+
+def test_global_obs_kernel_bit_exact():
+    """Global-view obs built in-kernel == the XLA engine's observe()
+    (docs/SEMANTICS.md §10 global branch incl. the ch4 wall channel) —
+    bit-exact, on a walled layout."""
+    from warehouse_tpu.config import shelves_config
+
+    cfg = shelves_config(max_steps=T, global_obs=True,
+                         num_agents=3, queue_capacity=6,
+                         init_requests=3)
+    key = jax.random.PRNGKey(3)
+    model = make_model(cfg)
+    params = model.init(key, jnp.zeros((1, cfg.obs_dim), jnp.float32))
+    env_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(32))
+    state, obs0 = jax.vmap(lambda k: engine.reset(cfg, k))(env_keys)
+    _, roll, _, _ = ppo_rollout_pallas(
+        cfg, params, state, T, jax.random.PRNGKey(9), block=32,
+        interpret=True)
+    assert bool(jnp.all(roll.obs[0] == obs0))
+    s = state
+    for t in range(T - 1):
+        s, ts = step_batch(cfg, s, roll.action[t])
+        assert bool(jnp.all(ts.obs == roll.obs[t + 1])), f"t={t}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["global_obs", "policy_groups",
+                                     "global_groups_mask"])
+def test_trainer_backend_equivalence_widened_envelope(variant):
+    """The round-3 envelope: global_obs and policy_groups through the
+    act kernel match the XLA trainer (mirrors
+    test_trainer_backend_equivalence)."""
+    from warehouse_tpu.train.ppo import make_train
+
+    Bv = 16
+    cfgkw = {}
+    mtkw = {}
+    mask = False
+    if variant in ("global_obs", "global_groups_mask"):
+        cfgkw["global_obs"] = True
+    if variant in ("policy_groups", "global_groups_mask"):
+        mtkw["policy_groups"] = (0, 1)
+    if variant == "global_groups_mask":
+        mask = True
+    cfg = small_config(max_steps=8, **cfgkw)
+    base = TrainConfig(num_envs=Bv, unroll_length=4, num_minibatches=2,
+                       ppo_epochs=2, hidden_dim=16, mask_actions=mask)
+    trx = make_train(cfg, base, **mtkw)
+    trp = make_train(cfg, base.replace(rollout_backend="pallas",
+                                       pallas_block=Bv,
+                                       pallas_interpret=True), **mtkw)
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(2):
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < (
+                2e-4 + 1e-3 * abs(float(mx[k]))), (variant, k)
+    assert bool(jnp.all(
+        rsx.env_state.agent_pos == rsp.env_state.agent_pos))
+    assert bool(jnp.all(rsx.env_state.t == rsp.env_state.t))

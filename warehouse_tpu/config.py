@@ -246,13 +246,15 @@ class TrainConfig:
     # is a pure activation/matmul precision knob.
     model_dtype: str = "float32"
     # Acting-phase backend ("xla" | "pallas"). "pallas" runs the whole
-    # T-step rollout — obs construction, MLP forward on the MXU,
-    # gumbel sampling, env tick — as one fused Mosaic kernel per update
+    # T-step rollout — obs construction (ego window OR global view),
+    # MLP forward on the MXU (per-policy-group weights when
+    # policy_groups is set), action masking, potential shaping, gumbel
+    # sampling, env tick — as one fused Mosaic kernel per update
     # (warehouse_tpu/pallas/act.py) with all state resident in VMEM.
-    # Requires: mlp arch, float32, shared policy, ego obs, no action
-    # masking/shaping, and max_steps % unroll_length == 0 (the boundary
-    # auto-reset runs outside the kernel). make_train raises loudly if
-    # "pallas" is requested outside that envelope.
+    # Requires: mlp arch (gru via train/ppo_rnn.py), float32, and
+    # max_steps % unroll_length == 0 (the boundary auto-reset runs
+    # outside the kernel). make_train raises loudly if "pallas" is
+    # requested outside that envelope.
     rollout_backend: str = "xla"
     pallas_block: int = 512       # envs per kernel block (VMEM residency)
     pallas_interpret: bool = False  # CI: run the kernel in interpret mode

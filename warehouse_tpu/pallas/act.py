@@ -60,24 +60,15 @@ def _pad8(n: int) -> int:
     return (n + 7) // 8 * 8
 
 
-def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
-              q_pr, q_pc, q_dr, q_dc, q_st):
-    """Agent ``i``'s observation as a list of [1, B] f32 rows in the
-    exact spec order of ``ops/obs.py`` ([S, S, 4] channel-last ravel then
-    the 6 self features, docs/SEMANTICS.md §10). Bit-exact: the same
-    boolean compares and the same explicit-reciprocal normalization."""
-    import numpy as _np
+def _f32(b):
+    return jnp.where(b, jnp.float32(1.0), jnp.float32(0.0))
 
-    A, R, H, W = (cfg.num_agents, cfg.queue_capacity, cfg.height,
-                  cfg.width)
-    S, k = cfg.window_size, cfg.obs_radius
-    one = jnp.float32(1.0)
-    zero = jnp.float32(0.0)
 
-    def f32(b):
-        return jnp.where(b, one, zero)
-
-    # My target (§10): one-hot read of my request, drop-vs-pickup select.
+def _target_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
+                 q_pr, q_pc, q_dr, q_dc):
+    """(has_i, carrying, tgt_r, tgt_c) [1, B] rows for agent ``i`` —
+    the §10 one-hot target read, drop-vs-pickup select."""
+    R = cfg.queue_capacity
     has_i = aq[i] >= 0
     tpr = jnp.zeros_like(p_r[i])
     tpc = jnp.zeros_like(p_r[i])
@@ -94,6 +85,42 @@ def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
     tgt_c = jnp.where(carrying, tdc, tpc)
     tgt_r = jnp.where(has_i, tgt_r, p_r[i])
     tgt_c = jnp.where(has_i, tgt_c, p_c[i])
+    return has_i, carrying, tgt_r, tgt_c
+
+
+def _feat_rows(cfg: EnvConfig, i: int, p_r, p_c, has_i, carrying,
+               tgt_r, tgt_c):
+    """The 6 self-feature rows (§10), explicit-reciprocal normalized."""
+    import numpy as _np
+
+    inv_h = float(_np.float32(1.0) / _np.float32(cfg.height))
+    inv_w = float(_np.float32(1.0) / _np.float32(cfg.width))
+    delta_r = jnp.where(has_i, tgt_r - p_r[i], 0)
+    delta_c = jnp.where(has_i, tgt_c - p_c[i], 0)
+    return [
+        p_r[i].astype(jnp.float32) * inv_h,
+        p_c[i].astype(jnp.float32) * inv_w,
+        _f32(carrying),
+        _f32(has_i),
+        delta_r.astype(jnp.float32) * inv_h,
+        delta_c.astype(jnp.float32) * inv_w,
+    ]
+
+
+def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
+              q_pr, q_pc, q_dr, q_dc, q_st):
+    """Agent ``i``'s ego-window observation as a list of [1, B] f32
+    rows in the exact spec order of ``ops/obs.py`` ([S, S, 4]
+    channel-last ravel then the 6 self features, docs/SEMANTICS.md
+    §10). Bit-exact: the same boolean compares and the same
+    explicit-reciprocal normalization."""
+    A, R, H, W = (cfg.num_agents, cfg.queue_capacity, cfg.height,
+                  cfg.width)
+    S, k = cfg.window_size, cfg.obs_radius
+    f32 = _f32
+
+    has_i, carrying, tgt_r, tgt_c = _target_rows(
+        cfg, i, p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc)
 
     rows = []
     for w in range(S * S):
@@ -119,18 +146,52 @@ def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
             ch3 = ch3 & ~((wr == wcell // W) & (wc == wcell % W))
         rows.extend([f32(ch0), f32(ch1), f32(ch2), f32(ch3)])
 
-    inv_h = float(_np.float32(1.0) / _np.float32(H))
-    inv_w = float(_np.float32(1.0) / _np.float32(W))
-    delta_r = jnp.where(has_i, tgt_r - p_r[i], 0)
-    delta_c = jnp.where(has_i, tgt_c - p_c[i], 0)
-    rows.extend([
-        p_r[i].astype(jnp.float32) * inv_h,
-        p_c[i].astype(jnp.float32) * inv_w,
-        f32(carrying),
-        f32(has_i),
-        delta_r.astype(jnp.float32) * inv_h,
-        delta_c.astype(jnp.float32) * inv_w,
-    ])
+    rows.extend(_feat_rows(cfg, i, p_r, p_c, has_i, carrying,
+                           tgt_r, tgt_c))
+    return rows
+
+
+def _obs_rows_global(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
+                     q_pr, q_pc, q_dr, q_dc, q_st):
+    """Agent ``i``'s GLOBAL-view observation rows ([H, W, 5]
+    channel-last ravel then the 6 self features) — the exact twin of
+    ``ops/obs.py observe``'s global branch (docs/SEMANTICS.md §10):
+    ch0 self position, ch1 other agents, ch2 pending pickups, ch3 own
+    target, ch4 traversable (static per config)."""
+    A, R, H, W = (cfg.num_agents, cfg.queue_capacity, cfg.height,
+                  cfg.width)
+    f32 = _f32
+    wall_set = set(cfg.walls)
+
+    has_i, carrying, tgt_r, tgt_c = _target_rows(
+        cfg, i, p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc)
+
+    rows = []
+    for w in range(H * W):
+        r_, c_ = w // W, w % W
+        ch_self = (p_r[i] == r_) & (p_c[i] == c_)
+        others = jnp.zeros_like(has_i)
+        for j in range(A):
+            if j != i:
+                others = others | ((p_r[j] == r_) & (p_c[j] == c_))
+        # observe() computes others = any_agent & ~self; identical to
+        # the union over j != i because cells hold at most one agent
+        # (engine invariant) — but replicate the & ~self exactly.
+        others = others & ~ch_self
+        pend = jnp.zeros_like(has_i)
+        for rq in range(R):
+            pend = pend | (
+                (q_pr[rq] == r_) & (q_pc[rq] == c_)
+                & (q_st[rq] == PENDING)
+            )
+        ch_tgt = (tgt_r == r_) & (tgt_c == c_) & has_i
+        free_row = jnp.full(p_r[i].shape,
+                            0.0 if w in wall_set else 1.0, jnp.float32)
+        rows.extend([f32(ch_self), f32(others), f32(pend),
+                     f32(ch_tgt), free_row])
+
+    rows.extend(_feat_rows(cfg, i, p_r, p_c, has_i, carrying,
+                           tgt_r, tgt_c))
     return rows
 
 
@@ -193,16 +254,22 @@ def _phi_row(cfg: EnvConfig, tbl_ref, p_r_i, p_c_i, aq_i, cy_i,
 
 
 def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
-                shaping_coef: float, gamma: float, *refs):
+                shaping_coef: float, gamma: float, groups: tuple,
+                *refs):
     """Kernel body. ``refs`` order: state rows (10 in), u/pick/drop,
     gumbel, [bfs table + trunc rows when shaping], weights (2 per
-    hidden layer + heads w/b), then outputs: state rows (10 out), obs,
-    talp (16-row slots per (t, agent): 0 action, 1 log-prob, 2 value,
-    3 reward (shaped when shaping is on), 4 delivered, 5-9 action
-    mask, 10 raw reward, 11-15 zero)."""
+    hidden layer + heads w/b) PER POLICY GROUP, then outputs: state
+    rows (10 out), obs, talp (16-row slots per (t, agent): 0 action,
+    1 log-prob, 2 value, 3 reward (shaped when shaping is on),
+    4 delivered, 5-9 action mask, 10 raw reward, 11-15 zero).
+
+    ``groups``: static agent -> policy-group map (RLlib
+    policy_mapping_fn parity); weight selection is resolved at trace
+    time, so multi-policy training costs nothing in-kernel."""
     A, R = cfg.num_agents, cfg.queue_capacity
     D = cfg.obs_dim
     Dp = _pad8(D)
+    K = max(groups) + 1
 
     it = iter(refs)
     pos_r, pos_c, areq, carry = next(it), next(it), next(it), next(it)
@@ -213,8 +280,10 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
     shape_on = shaping_coef > 0.0
     if shape_on:
         tbl_ref, trunc_ref = next(it), next(it)
-    wbs = [(next(it), next(it)) for _ in range(n_hidden)]
-    wh_ref, bh_ref = next(it), next(it)
+    wbs_g = [[(next(it), next(it)) for _ in range(n_hidden)]
+             for _g in range(K)]
+    heads_g = [(next(it), next(it)) for _g in range(K)]
+    obs_rows_fn = _obs_rows_global if cfg.global_obs else _obs_rows
     (o_pos_r, o_pos_c, o_areq, o_carry, o_rp_r, o_rp_c, o_rd_r, o_rd_c,
      o_rstat, o_ragent) = (next(it) for _ in range(10))
     o_obs, o_talp = next(it), next(it)
@@ -244,15 +313,18 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
 
         act = []
         for i in range(A):
-            obs_rows = _obs_rows(cfg, i, p_r, p_c, aq, cy,
-                                 q_pr, q_pc, q_dr, q_dc, q_st)
+            obs_rows = obs_rows_fn(cfg, i, p_r, p_c, aq, cy,
+                                   q_pr, q_pc, q_dr, q_dc, q_st)
             if Dp > D:
                 pad = jnp.zeros_like(obs_rows[0])
                 obs_rows = obs_rows + [pad] * (Dp - D)
             x = jnp.concatenate(obs_rows, axis=0)         # [Dp, B]
             o_obs[pl.ds((t * A + i) * Dp, Dp), :] = x
 
-            # MLP forward on the MXU: weights are pre-transposed [out, in].
+            # MLP forward on the MXU: weights are pre-transposed
+            # [out, in]; agent i's policy group picked at trace time.
+            wbs = wbs_g[groups[i]]
+            wh_ref, bh_ref = heads_g[groups[i]]
             h = x[:D, :]
             for w_ref, b_ref in wbs:
                 h = jnp.tanh(
@@ -722,32 +794,49 @@ def extract_mlp_weights(params) -> tuple:
     return hidden, (wh, bh)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9, 10))
 def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
                        key: jax.Array, block: int = 512,
                        interpret: bool = False,
                        mask_actions: bool = False,
                        shaping_coef: float = 0.0,
-                       gamma: float = 0.99):
+                       gamma: float = 0.99,
+                       policy_groups: tuple | None = None):
     """Run the T-step trained acting phase via the fused kernel.
 
     Returns ``(new EnvState, ActRollout, reset_key_last uint32[B, 2])``
     — ``reset_key_last`` is the draw the boundary auto-reset must
     consume (same stream as ``env/batch.py step_autoreset_batch``).
     The caller owns the boundary reset and the next-chunk obs.
+
+    ``policy_groups``: static agent -> group tuple; ``params`` is then
+    a ``MultiPolicyActorCritic`` tree (one sub-tree per group) and each
+    agent's forward uses its group's weights — trace-time selection,
+    exactly the one-hot select of ``models/policy.py``. Global-view
+    observations are supported (``cfg.global_obs``): the kernel builds
+    the [H, W, 5] channel rows of ``ops/obs.py``'s global branch.
     """
     if cfg.auto_reset:
         raise ValueError("act kernel: auto_reset is handled by the caller")
-    if cfg.global_obs:
-        raise ValueError("act kernel supports ego-window obs only")
     B = state.agent_pos.shape[0]
     if B % block:
         raise ValueError(f"batch {B} must divide into block {block}")
     A, R, D = cfg.num_agents, cfg.queue_capacity, cfg.obs_dim
     Dp = _pad8(D)
 
-    hidden, (wh, bh) = extract_mlp_weights(params)
-    n_hidden = len(hidden)
+    if policy_groups is None:
+        groups = (0,) * A
+        ptrees = [params]
+    else:
+        if len(policy_groups) != A:
+            raise ValueError("policy_groups must have one entry per agent")
+        groups = tuple(int(g) for g in policy_groups)
+        ptrees = [
+            {"params": params["params"][f"policies_{g}"]}
+            for g in range(max(groups) + 1)
+        ]
+    gw = [extract_mlp_weights(p) for p in ptrees]
+    n_hidden = len(gw[0][0])
 
     # Canonical env draw stream [T, B] (identical to the XLA path).
     def draws_scan(keys, _):
@@ -809,12 +898,13 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
         trunc = (steps_ahead >= cfg.max_steps).astype(jnp.float32)
         ins.extend([tbl, trunc])
         in_specs.extend([wspec(tbl.shape), bspec(T)])
-    for w, b in hidden:
-        ins.extend([w, b])
-    ins.extend([wh, bh])
-    for w, b in hidden:
-        in_specs.extend([wspec(w.shape), wspec(b.shape)])
-    in_specs.extend([wspec(wh.shape), wspec(bh.shape)])
+    for hidden, _heads in gw:
+        for w, b in hidden:
+            ins.extend([w, b])
+            in_specs.extend([wspec(w.shape), wspec(b.shape)])
+    for _hidden, (wh, bh) in gw:
+        ins.extend([wh, bh])
+        in_specs.extend([wspec(wh.shape), wspec(bh.shape)])
 
     out_specs = [
         bspec(A), bspec(A), bspec(A), bspec(A),
@@ -840,7 +930,7 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
     ) + 12 * 1024 * 1024                      # weights + compiler stack
     outs = pl.pallas_call(
         partial(_act_kernel, cfg, T, n_hidden, mask_actions,
-                shaping_coef, gamma),
+                shaping_coef, gamma, groups),
         grid=(B // block,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -153,16 +153,13 @@ def make_train(
     use_pallas = tcfg.rollout_backend == "pallas"
     if use_pallas:
         # The fused act-phase kernel's envelope (pallas/act.py): fail
-        # loudly rather than silently fall back.
+        # loudly rather than silently fall back. (global_obs and
+        # policy_groups are in-envelope since round 3.)
         problems = []
-        if policy_groups is not None:
-            problems.append("policy_groups")
         if arch != "mlp":
             problems.append(f"arch={arch!r}")
         if tcfg.model_dtype != "float32":
             problems.append("model_dtype")
-        if env_cfg.global_obs:
-            problems.append("global_obs")
         if env_cfg.max_steps % tcfg.unroll_length:
             problems.append("max_steps % unroll_length != 0")
         if b_local % tcfg.pallas_block:
@@ -290,7 +287,8 @@ def make_train(
             new_env_state, roll, reset_key_last, key = ppo_rollout_pallas(
                 cfg_noar, params, env_state_in, tcfg.unroll_length, key,
                 tcfg.pallas_block, tcfg.pallas_interpret,
-                tcfg.mask_actions, tcfg.shaping_coef, tcfg.gamma)
+                tcfg.mask_actions, tcfg.shaping_coef, tcfg.gamma,
+                policy_groups)
             env_state, last_obs, _ = reset_truncated_batch(
                 cfg_noar, new_env_state, reset_key_last)
             done = jnp.broadcast_to(
