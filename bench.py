@@ -47,7 +47,9 @@ PER_CHIP_TARGET = 10_000_000 / 16
 # of sinking the whole bench (observed 2026-08-20: the tunnel's compile
 # service went down for >1h while cached programs kept executing).
 PATH_BUDGET_S = {"pallas": 1800, "engine": 900, "ppo": 1500,
-                 "impala": 1200, "ppo_rnn": 1200}
+                 "impala": 1500, "ppo_rnn": 2100}
+# ppo_rnn gets the largest budget: a cold GRU train_many compile was
+# measured at ~20 min on a slow-tunnel day (cached thereafter).
 
 
 def _progress(msg: str) -> None:
@@ -177,6 +179,11 @@ def bench_trained(jax, jnp, family="ppo", backend="pallas"):
     elif family == "ppo_rnn":
         from warehouse_tpu.train.ppo_rnn import make_train_rnn
 
+        if backend == "pallas":
+            # Recurrent fast path: f32 GRU act kernel + bf16 sequence
+            # replay (matmul-bound; docs/RESULTS.md r3s1 — 2.60M vs
+            # 1.62M all-f32-XLA, curve-proven).
+            tcfg = tcfg.replace(model_dtype="bfloat16")
         trainer = make_train_rnn(medium_config(), tcfg, arch="gru")
     else:
         raise SystemExit(f"unknown trained family {family!r}")

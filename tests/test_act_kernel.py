@@ -338,3 +338,32 @@ def test_trainer_backend_equivalence_widened_envelope(variant):
     assert bool(jnp.all(
         rsx.env_state.agent_pos == rsp.env_state.agent_pos))
     assert bool(jnp.all(rsx.env_state.t == rsp.env_state.t))
+
+
+@pytest.mark.slow
+def test_rnn_pallas_with_bf16_replay_trains():
+    """The recurrent fast config: f32 GRU act kernel + bf16 sequence
+    replay (model_dtype='bfloat16' is in-envelope for the rnn kernel;
+    the carry dtype round-trips through the f32 kernel). Finite
+    metrics, params move."""
+    import numpy as np
+
+    from warehouse_tpu.train.ppo_rnn import make_train_rnn
+
+    cfg = small_config(max_steps=8)
+    trainer = make_train_rnn(
+        cfg,
+        TrainConfig(num_envs=16, unroll_length=4, num_minibatches=2,
+                    ppo_epochs=2, hidden_dim=16,
+                    rollout_backend="pallas", pallas_block=16,
+                    model_dtype="bfloat16", pallas_interpret=True),
+        arch="gru")
+    rs = trainer.init(jax.random.PRNGKey(0))
+    p0 = jax.tree.leaves(rs.params)[0].copy()
+    for _ in range(2):
+        rs, m = trainer.train_step(rs)
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+    assert int(rs.update_idx) == 2
+    assert not np.array_equal(
+        np.asarray(p0), np.asarray(jax.tree.leaves(rs.params)[0]))

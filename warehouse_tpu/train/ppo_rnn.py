@@ -99,8 +99,13 @@ def make_train_rnn(
         problems = []
         if arch != "gru":
             problems.append(f"arch={arch!r} (kernel implements GRU)")
-        if tcfg.model_dtype != "float32":
-            problems.append("model_dtype")
+        # model_dtype="bfloat16" IS allowed with the kernel: acting
+        # runs f32 in-kernel (extract_rnn_weights casts) while the
+        # SGD-phase sequence replay uses the bf16 torso — the recurrent
+        # path is matmul-bound in the replay (docs/RESULTS.md r3s1:
+        # bf16 took the XLA path 1.62M -> 2.37M env-steps/s), and PPO's
+        # ratio is robust to the f32-act/bf16-replay precision split
+        # (curve proof in RESULTS.md).
         if env_cfg.global_obs:
             problems.append("global_obs")
         if tcfg.shaping_coef != 0.0:
@@ -192,8 +197,9 @@ def make_train_rnn(
             env_state, last_obs, done_b = reset_truncated_batch(
                 cfg_noar, new_env_state, reset_key_last)
             last_h = jax.tree.map(
-                lambda x: jnp.where(done_b[:, None, None], 0.0, x),
-                new_carry)
+                lambda x, ref: jnp.where(
+                    done_b[:, None, None], 0.0, x).astype(ref.dtype),
+                new_carry, rs.carry)
             done = jnp.broadcast_to(
                 roll.truncated[:, :, None], roll.reward.shape)
             mask = roll.mask
