@@ -143,8 +143,9 @@ def test_pallas_gate_raises_loudly():
     cfg = small_config().replace(max_steps=8)
     base = TrainConfig(num_envs=B, unroll_length=4,
                        rollout_backend="pallas", pallas_block=B)
+    # (model_dtype="bfloat16" is IN-envelope since round 3: acting runs
+    # f32 in-kernel, the SGD side uses bf16 matmuls.)
     for bad in (
-        base.replace(model_dtype="bfloat16"),
         base.replace(unroll_length=3),     # 8 % 3 != 0
         base.replace(pallas_block=B + 8),  # B % block != 0
     ):

@@ -821,6 +821,10 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
     B = state.agent_pos.shape[0]
     if B % block:
         raise ValueError(f"batch {B} must divide into block {block}")
+    if not interpret and block != B and block % 128:
+        raise ValueError(
+            f"pallas_block={block} must be a multiple of 128 (Mosaic "
+            "lane tiling) or equal to the env batch")
     A, R, D = cfg.num_agents, cfg.queue_capacity, cfg.obs_dim
     Dp = _pad8(D)
 

@@ -66,7 +66,8 @@ FIELD_ROWS = 16
 
 
 def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
-                 ent_coef, kl_coeff, inv_n, x, f, weights):
+                 ent_coef, kl_coeff, inv_n, x, f, weights,
+                 mm_dtype=jnp.float32):
     """Loss gradient contribution of one sample block.
 
     ``x [Dp, N]`` obs rows (rows >= D ignored), ``f [16, N]`` fields
@@ -80,22 +81,28 @@ def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
     (jnp.minimum routes ties to the first arg; jnp.clip's boundary
     gradient is 1) — epoch 0 has ratio == 1 everywhere, an exact tie of
     the surrogate branches, so these rules are load-bearing.
+
+    ``mm_dtype=jnp.bfloat16`` runs every matmul's operands in bf16 with
+    f32 accumulation (TrainConfig.model_dtype="bfloat16") — the MXU's
+    native precision, exactly the tradeoff XLA's bf16-torso Dense makes;
+    the loss chain, grad accumulation, and Adam all stay f32.
     """
     hidden, (wh, bh) = weights
+
+    def dot(a, bmat, dims):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), bmat.astype(mm_dtype), dims,
+            preferred_element_type=jnp.float32)
 
     # ---------------- forward (activations stay live in VMEM) --------
     h = x[:D, :]
     hs = []
     xin = h
     for w, b in hidden:
-        z = jax.lax.dot_general(
-            w, h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b
+        z = dot(w, h, (((1,), (0,)), ((), ()))) + b
         h = jnp.tanh(z)
         hs.append(h)
-    out = jax.lax.dot_general(
-        wh, h, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bh            # [8, N]
+    out = dot(wh, h, (((1,), (0,)), ((), ()))) + bh         # [8, N]
 
     logit = [out[r:r + 1, :] for r in range(n_act)]
     if mask_act:
@@ -175,29 +182,21 @@ def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
         d_logit + [d_v] + [jnp.zeros_like(d_v)] * n_pad, axis=0)
 
     h_last = hs[-1]
-    dwh = jax.lax.dot_general(
-        d_out, h_last, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    dwh = dot(d_out, h_last, (((1,), (1,)), ((), ())))
     dbh = jnp.sum(d_out, axis=1, keepdims=True)
 
-    dh = jax.lax.dot_general(
-        wh, d_out, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    dh = dot(wh, d_out, (((0,), (0,)), ((), ())))
 
     dhidden = [None] * len(hidden)
     for li in range(len(hidden) - 1, -1, -1):
         h_li = hs[li]
         dz = dh * (1.0 - h_li * h_li)
         prev = xin if li == 0 else hs[li - 1]
-        dw = jax.lax.dot_general(
-            dz, prev, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dw = dot(dz, prev, (((1,), (1,)), ((), ())))
         db = jnp.sum(dz, axis=1, keepdims=True)
         dhidden[li] = (dw, db)
         if li > 0:
-            dh = jax.lax.dot_general(
-                hidden[li][0], dz, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dh = dot(hidden[li][0], dz, (((0,), (0,)), ((), ())))
     return dhidden, dwh, dbh, metric_rows
 
 
@@ -205,7 +204,7 @@ def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
                 nbe: int, n_blk: int, n_steps: int, mb_n: int,
                 clip_eps: float, value_coef: float,
                 max_grad_norm: float, b1: float, b2: float, eps: float,
-                mask_act: bool, *refs):
+                mask_act: bool, mm_dtype, *refs):
     """Fused-phase kernel body; grid = (n_steps, n_blk).
 
     refs: scal_steps SMEM [n_steps, 4] (lr, 1-b1^t, 1-b2^t, 0),
@@ -264,7 +263,7 @@ def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
         f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
         dhidden, dwh, dbh, rows = _block_grads(
             D, n_act, clip_eps, value_coef, mask_act,
-            ent_coef, kl_coeff, inv_n, x, f, weights)
+            ent_coef, kl_coeff, inv_n, x, f, weights, mm_dtype)
         for li, (dw, db) in enumerate(dhidden):
             g_scr[2 * li][...] += dw
             g_scr[2 * li + 1][...] += db
@@ -308,7 +307,7 @@ def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
 
 def _grads_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
                   n_blk: int, mb_n: int, clip_eps: float,
-                  value_coef: float, mask_act: bool, *refs):
+                  value_coef: float, mask_act: bool, mm_dtype, *refs):
     """Single-minibatch grads kernel body; grid = (n_blk,).
 
     The multi-device variant: grads leave the kernel so XLA can
@@ -348,7 +347,7 @@ def _grads_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
         f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
         dhidden, dwh, dbh, rows = _block_grads(
             D, n_act, clip_eps, value_coef, mask_act,
-            ent_coef, kl_coeff, inv_n, x, f, weights)
+            ent_coef, kl_coeff, inv_n, x, f, weights, mm_dtype)
         for li, (dw, db) in enumerate(dhidden):
             g_out[2 * li][...] += dw
             g_out[2 * li + 1][...] += db
@@ -460,6 +459,7 @@ def ppo_sgd_phase_pallas(
     value_coef: float, max_grad_norm: float, mask_actions: bool,
     obs_dim: int, block_envs: int = 1024, rows_per_block: int = 4,
     b1: float = 0.9, b2: float = 0.999, eps: float = 1e-5,
+    matmul_dtype: str = "float32",
     interpret: bool = False,
 ):
     """Run the ENTIRE PPO SGD phase in one fused Mosaic kernel.
@@ -488,6 +488,10 @@ def ppo_sgd_phase_pallas(
     blkB = block_envs
     while mbB % blkB:
         blkB //= 2
+    if not interpret and blkB % 128 and blkB != B:
+        raise ValueError(
+            f"SGD block_envs resolved to {blkB}: must be a multiple of "
+            "128 (Mosaic lane tiling) or equal to the env batch")
     nbe = mbB // blkB
     k_ta = _pick_k_ta(ta, rows_per_block)
     n_rb = ta // k_ta
@@ -548,7 +552,8 @@ def ppo_sgd_phase_pallas(
     outs = pl.pallas_call(
         partial(_sgd_kernel, n_hidden, obs_dim, n_act, k_ta, nbe,
                 n_blk, n_steps, mb_n, clip_eps, value_coef,
-                max_grad_norm, b1, b2, eps, mask_actions),
+                max_grad_norm, b1, b2, eps, mask_actions,
+                jnp.dtype(matmul_dtype)),
         grid=(n_steps, n_blk),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -580,7 +585,8 @@ def ppo_minibatch_grads_pallas(
     params, obs_bm, fields, mb_idx: int, ent_coef, kl_coeff, *,
     num_minibatches: int, clip_eps: float, value_coef: float,
     mask_actions: bool, obs_dim: int, block_envs: int = 1024,
-    rows_per_block: int = 4, interpret: bool = False,
+    rows_per_block: int = 4, matmul_dtype: str = "float32",
+    interpret: bool = False,
 ):
     """One minibatch's exact loss + gradient from the act kernel's
     native-layout trajectory (multi-device variant: the caller pmeans
@@ -599,6 +605,10 @@ def ppo_minibatch_grads_pallas(
     blkB = block_envs
     while mbB % blkB:
         blkB //= 2
+    if not interpret and blkB % 128 and blkB != B:
+        raise ValueError(
+            f"SGD block_envs resolved to {blkB}: must be a multiple of "
+            "128 (Mosaic lane tiling) or equal to the env batch")
     nbe = mbB // blkB
     k_ta = _pick_k_ta(ta, rows_per_block)
     n_rb = ta // k_ta
@@ -640,7 +650,8 @@ def ppo_minibatch_grads_pallas(
 
     outs = pl.pallas_call(
         partial(_grads_kernel, n_hidden, obs_dim, n_act, k_ta, n_blk,
-                mb_n, clip_eps, value_coef, mask_actions),
+                mb_n, clip_eps, value_coef, mask_actions,
+                jnp.dtype(matmul_dtype)),
         grid=(n_blk,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -155,11 +155,12 @@ def make_train(
         # The fused act-phase kernel's envelope (pallas/act.py): fail
         # loudly rather than silently fall back. (global_obs and
         # policy_groups are in-envelope since round 3.)
+        # model_dtype="bfloat16" is in-envelope: acting runs f32
+        # in-kernel (extract_mlp_weights casts); with the fused SGD
+        # kernel the torso matmuls run bf16 there (docs/RESULTS.md).
         problems = []
         if arch != "mlp":
             problems.append(f"arch={arch!r}")
-        if tcfg.model_dtype != "float32":
-            problems.append("model_dtype")
         if env_cfg.max_steps % tcfg.unroll_length:
             problems.append("max_steps % unroll_length != 0")
         if b_local % tcfg.pallas_block:
@@ -186,8 +187,6 @@ def make_train(
             problems.append("policy_groups")
         if arch != "mlp":
             problems.append(f"arch={arch!r}")
-        if tcfg.model_dtype != "float32":
-            problems.append("model_dtype")
         if tcfg.epoch_shuffle != "once":
             problems.append("epoch_shuffle != 'once'")
         if tcfg.minibatch_mode != "env":
@@ -547,6 +546,7 @@ def make_train(
             mask_actions=tcfg.mask_actions, obs_dim=D,
             block_envs=tcfg.sgd_block_envs,
             rows_per_block=tcfg.sgd_rows_per_block,
+            matmul_dtype=tcfg.model_dtype,
             interpret=tcfg.pallas_interpret,
         )
         if mesh is None:
