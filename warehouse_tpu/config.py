@@ -245,7 +245,13 @@ class TrainConfig:
     # the loss stay float32 (models cast logits/values back), so this
     # is a pure activation/matmul precision knob.
     model_dtype: str = "float32"
-    # Acting-phase backend ("xla" | "pallas"). "pallas" runs the whole
+    # Acting-phase backend ("auto" | "xla" | "pallas"). "auto" (the
+    # default) resolves to "pallas" when running on real TPU hardware
+    # AND the config is inside the kernel envelope, else "xla" — so a
+    # default `python -m warehouse_tpu.train` gets the benchmarked fast
+    # path (the resolution is logged by make_train). An EXPLICIT
+    # "pallas" still fails loudly outside the envelope (no silent
+    # fallback). "pallas" runs the whole
     # T-step rollout — obs construction (ego window OR global view),
     # MLP forward on the MXU (per-policy-group weights when
     # policy_groups is set), action masking, potential shaping, gumbel
@@ -255,10 +261,11 @@ class TrainConfig:
     # max_steps % unroll_length == 0 (the boundary auto-reset runs
     # outside the kernel). make_train raises loudly if "pallas" is
     # requested outside that envelope.
-    rollout_backend: str = "xla"
+    rollout_backend: str = "auto"
     pallas_block: int = 512       # envs per kernel block (VMEM residency)
     pallas_interpret: bool = False  # CI: run the kernel in interpret mode
-    # SGD-phase backend ("xla" | "pallas"). "pallas" runs the ENTIRE
+    # SGD-phase backend ("auto" | "xla" | "pallas"); "auto" as for
+    # rollout_backend. "pallas" runs the ENTIRE
     # epoch/minibatch SGD phase as one fused Mosaic kernel
     # (warehouse_tpu/pallas/sgd.py): it consumes the act kernel's
     # batch-minor obs trajectory DIRECTLY (zero transposes/gathers),
@@ -274,7 +281,7 @@ class TrainConfig:
     # shared policy, epoch_shuffle="once", micro_batches=1,
     # flat_optimizer=False; action masking IS supported. Matches the
     # XLA SGD phase to f32 accumulation order (tests/test_grad_kernel).
-    grad_backend: str = "xla"
+    grad_backend: str = "auto"
     # SGD-kernel block geometry (chip sweep, docs/RESULTS.md r3s1:
     # 1024/8 = 5.22 ms vs 1024/4 = 5.33 vs 512/4 = 5.90 at config 4).
     sgd_block_envs: int = 1024    # env columns per SGD-kernel block
@@ -293,8 +300,8 @@ class TrainConfig:
         checks = {
             "minibatch_mode": ("flat", "env"),
             "epoch_shuffle": ("each", "once"),
-            "rollout_backend": ("xla", "pallas"),
-            "grad_backend": ("xla", "pallas"),
+            "rollout_backend": ("auto", "xla", "pallas"),
+            "grad_backend": ("auto", "xla", "pallas"),
             "model_dtype": ("float32", "bfloat16"),
         }
         for field, allowed in checks.items():

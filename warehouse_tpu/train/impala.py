@@ -101,11 +101,22 @@ def make_train_impala(
             f"micro_batches={tcfg.micro_batches} must divide the "
             f"per-minibatch env count {mb_envs_chk}")
 
-    if tcfg.rollout_backend not in ("xla", "pallas"):
-        raise ValueError(
-            f"rollout_backend must be 'xla' or 'pallas', got "
-            f"{tcfg.rollout_backend!r}")
-    use_pallas = tcfg.rollout_backend == "pallas"
+    rollout_backend = tcfg.rollout_backend
+    if rollout_backend == "auto":
+        # Fast fused acting on real TPU hardware when in-envelope.
+        import logging
+
+        ok = (jax.default_backend() == "tpu" and arch == "mlp"
+              and tcfg.model_dtype == "float32"
+              and not env_cfg.global_obs
+              and env_cfg.max_steps % tcfg.unroll_length == 0
+              and b_local % tcfg.pallas_block == 0
+              and (tcfg.pallas_block % 128 == 0
+                   or tcfg.pallas_block == b_local))
+        rollout_backend = "pallas" if ok else "xla"
+        logging.getLogger("warehouse_tpu").info(
+            "rollout_backend=auto -> %s (impala)", rollout_backend)
+    use_pallas = rollout_backend == "pallas"
     if use_pallas:
         problems = []
         if arch != "mlp":

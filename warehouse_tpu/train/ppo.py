@@ -146,11 +146,34 @@ def make_train(
         tcfg.minibatch_mode == "env" and tcfg.epoch_shuffle == "once"
     )
 
-    if tcfg.rollout_backend not in ("xla", "pallas"):
-        raise ValueError(
-            f"rollout_backend must be 'xla' or 'pallas', got "
-            f"{tcfg.rollout_backend!r}")
-    use_pallas = tcfg.rollout_backend == "pallas"
+    # "auto" backends: the fast fused path on real TPU hardware when
+    # the config is inside the kernel envelopes, "xla" otherwise. An
+    # EXPLICIT "pallas" request still fails loudly below.
+    rollout_backend = tcfg.rollout_backend
+    grad_backend = tcfg.grad_backend
+    if "auto" in (rollout_backend, grad_backend):
+        import logging
+
+        on_tpu = jax.default_backend() == "tpu"
+        log = logging.getLogger("warehouse_tpu")
+    if rollout_backend == "auto":
+        ok = (on_tpu and arch == "mlp"
+              and env_cfg.max_steps % tcfg.unroll_length == 0
+              and b_local % tcfg.pallas_block == 0
+              and (tcfg.pallas_block % 128 == 0
+                   or tcfg.pallas_block == b_local))
+        rollout_backend = "pallas" if ok else "xla"
+        log.info("rollout_backend=auto -> %s", rollout_backend)
+    if grad_backend == "auto":
+        mb_ok = (b_local % tcfg.num_minibatches == 0
+                 and (b_local // tcfg.num_minibatches) % 128 == 0)
+        ok = (on_tpu and arch == "mlp" and policy_groups is None
+              and use_state_shuffle and tcfg.micro_batches == 1
+              and not tcfg.flat_optimizer and mb_ok)
+        grad_backend = "pallas" if ok else "xla"
+        log.info("grad_backend=auto -> %s", grad_backend)
+
+    use_pallas = rollout_backend == "pallas"
     if use_pallas:
         # The fused act-phase kernel's envelope (pallas/act.py): fail
         # loudly rather than silently fall back. (global_obs and
@@ -171,11 +194,7 @@ def make_train(
                 "rollout_backend='pallas' unsupported with: "
                 + ", ".join(problems))
 
-    if tcfg.grad_backend not in ("xla", "pallas"):
-        raise ValueError(
-            f"grad_backend must be 'xla' or 'pallas', got "
-            f"{tcfg.grad_backend!r}")
-    use_grad_pallas = tcfg.grad_backend == "pallas"
+    use_grad_pallas = grad_backend == "pallas"
     if use_grad_pallas:
         # The fused SGD-phase kernel's envelope (pallas/sgd.py): fail
         # loudly rather than silently fall back. Minibatch composition
