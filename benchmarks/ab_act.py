@@ -95,18 +95,10 @@ def main() -> None:
 
     @jax.jit
     def draws_only(key, env_keys):
-        def draws_scan(keys, _):
-            d = jax.vmap(lambda k: _rng.step_draws(k, cfg_noar))(keys)
-            return d.next_key, (d.spawn_u, d.spawn_pick, d.spawn_drop)
-
-        fk, (u, pk, dr) = jax.lax.scan(draws_scan, env_keys, None,
-                                       length=T)
-
-        def gumbel_scan(k, _):
-            k, ak = jax.random.split(k)
-            return k, jax.random.gumbel(ak, (5, B * A), jnp.float32)
-
-        nk, g = jax.lax.scan(gumbel_scan, key, None, length=T)
+        # The production (batched) draw precompute — rng.py.
+        fk, u, pk, dr, rk = _rng.batched_step_draws(env_keys, cfg_noar,
+                                                    T)
+        nk, g = _rng.batched_gumbel_stream(key, T, (5, B * A))
         return u.sum() + g.sum()
 
     st2, obs_bm, fields, d0 = act_phase(env_state, jax.random.PRNGKey(3))

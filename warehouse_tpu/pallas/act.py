@@ -627,20 +627,12 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
     enc, gmats, (wh, bh) = extract_rnn_weights(params)
     n_enc = len(enc)
 
-    def draws_scan(keys, _):
-        d = jax.vmap(lambda k: _rng.step_draws(k, cfg))(keys)
-        return d.next_key, (d.spawn_u, d.spawn_pick, d.spawn_drop,
-                            d.reset_key)
+    # Batched draw precompute: bit-identical stream, the T*B draws in
+    # one program instead of T sequential scan steps (rng.py).
+    final_keys, u, pick, drop, reset_keys = _rng.batched_step_draws(
+        state.key, cfg, T)
 
-    final_keys, (u, pick, drop, reset_keys) = jax.lax.scan(
-        draws_scan, state.key, None, length=T
-    )
-
-    def gumbel_scan(k, _):
-        k, ak = jax.random.split(k)
-        return k, jax.random.gumbel(ak, (5, B * A), jnp.float32)
-
-    next_key, g = jax.lax.scan(gumbel_scan, key, None, length=T)
+    next_key, g = _rng.batched_gumbel_stream(key, T, (5, B * A))
     g = g.reshape(T, 5, B, A).transpose(0, 3, 1, 2)
     g = jnp.pad(g, ((0, 0), (0, 0), (0, 3), (0, 0)))
     g = g.reshape(T * A * 8, B)
@@ -843,23 +835,15 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
     n_hidden = len(gw[0][0])
 
     # Canonical env draw stream [T, B] (identical to the XLA path).
-    def draws_scan(keys, _):
-        d = jax.vmap(lambda k: _rng.step_draws(k, cfg))(keys)
-        return d.next_key, (d.spawn_u, d.spawn_pick, d.spawn_drop,
-                            d.reset_key)
-
-    final_keys, (u, pick, drop, reset_keys) = jax.lax.scan(
-        draws_scan, state.key, None, length=T
-    )
+    # Batched draw precompute: bit-identical stream, the T*B draws in
+    # one program instead of T sequential scan steps (rng.py).
+    final_keys, u, pick, drop, reset_keys = _rng.batched_step_draws(
+        state.key, cfg, T)
 
     # Gumbel stream, same values the XLA sampler draws: per step,
     # key, akey = split(key); g_t = gumbel(akey, [5, B*A]) consumed as
     # the [5, N] transpose of [B, A, 5] logits (ops/ppo_update.py).
-    def gumbel_scan(k, _):
-        k, ak = jax.random.split(k)
-        return k, jax.random.gumbel(ak, (5, B * A), jnp.float32)
-
-    next_key, g = jax.lax.scan(gumbel_scan, key, None, length=T)
+    next_key, g = _rng.batched_gumbel_stream(key, T, (5, B * A))
     # [T, 5, B, A] -> [T, A, 5, B] -> padded rows [T*A*8, B].
     g = g.reshape(T, 5, B, A).transpose(0, 3, 1, 2)
     g = jnp.pad(g, ((0, 0), (0, 0), (0, 3), (0, 0)))

@@ -326,14 +326,10 @@ def greedy_rollout_pallas(cfg: EnvConfig, state: EnvState, T: int,
         raise ValueError(f"batch {B} must divide into block {block}")
 
     # Precompute the canonical draw stream [T, B] (threefry outside the
-    # kernel, exactly as engine.step would consume it).
-    def draws_scan(keys, _):
-        d = jax.vmap(lambda k: _rng.step_draws(k, cfg))(keys)
-        return d.next_key, (d.spawn_u, d.spawn_pick, d.spawn_drop)
-
-    final_keys, (u, pick, drop) = jax.lax.scan(
-        draws_scan, state.key, None, length=T
-    )
+    # kernel, exactly as engine.step would consume it; batched —
+    # bit-identical, one program for the T*B draws, rng.py).
+    final_keys, u, pick, drop, _rk = _rng.batched_step_draws(
+        state.key, cfg, T)
 
     # Batch-minor layout for perfect lane tiling.
     def bm(x):  # [B, K] -> [K, B] int32

@@ -80,3 +80,54 @@ def step_draws(key: jax.Array, cfg: EnvConfig) -> StepDraws:
         jax.random.fold_in(sk, 2), (), 0, cfg.num_free
     )].astype(jnp.int32)
     return StepDraws(next_key, reset_key, u, pick, drop)
+
+
+def batched_step_draws(keys: jax.Array, cfg: EnvConfig, T: int):
+    """T steps of per-env draws, batched: returns ``(final_keys,
+    u float32[T, B], pick int32[T, B], drop int32[T, B],
+    reset_keys uint32[T, B, 2])``.
+
+    BIT-IDENTICAL to ``lax.scan``ning ``vmap(step_draws)`` over T (the
+    per-key draw functions are the same code on the same keys), but the
+    only sequential work left is the key-advance chain — the T·B scalar
+    draws run as ONE batched program. Measured: the per-step scan was
+    1.29 ms of the 5.2 ms fused update at BASELINE config 4
+    (benchmarks/ab_act.py); this removes most of it.
+    """
+    def chain(ks, _):
+        trip = jax.vmap(lambda k: jax.random.split(k, 3))(ks)  # [B, 3, 2]
+        return trip[:, 0], (trip[:, 1], trip[:, 2])
+
+    final_keys, (sks, rks) = jax.lax.scan(chain, keys, None, length=T)
+    free = _free_cells(cfg)
+    B = keys.shape[0]
+    flat = sks.reshape(T * B, 2)
+    u = jax.vmap(
+        lambda k: jax.random.uniform(jax.random.fold_in(k, 0))
+    )(flat).reshape(T, B)
+    pick = jax.vmap(
+        lambda k: free[jax.random.randint(
+            jax.random.fold_in(k, 1), (), 0, cfg.num_free
+        )].astype(jnp.int32)
+    )(flat).reshape(T, B)
+    drop = jax.vmap(
+        lambda k: free[jax.random.randint(
+            jax.random.fold_in(k, 2), (), 0, cfg.num_free
+        )].astype(jnp.int32)
+    )(flat).reshape(T, B)
+    return final_keys, u, pick, drop, rks
+
+
+def batched_gumbel_stream(key: jax.Array, T: int, shape: tuple):
+    """(next_key, g float32[T, *shape]) — bit-identical to the per-step
+    ``key, ak = split(key); gumbel(ak, shape)`` chain, with all T
+    gumbel draws generated in one batched call."""
+    def chain(k, _):
+        k, ak = jax.random.split(k)
+        return k, ak
+
+    next_key, aks = jax.lax.scan(chain, key, None, length=T)
+    g = jax.vmap(
+        lambda ak: jax.random.gumbel(ak, shape, jnp.float32)
+    )(aks)
+    return next_key, g
