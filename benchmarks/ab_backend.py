@@ -40,8 +40,11 @@ def main() -> None:
     print("devices:", jax.devices(), file=sys.stderr)
 
     env_cfg = (large_config if args.env == "large" else medium_config)()
+    # Backends EXPLICIT: with the round-3 "auto" defaults every variant
+    # would silently resolve to the fused path on the chip.
     base = TrainConfig(num_envs=args.num_envs, unroll_length=16,
-                       minibatch_mode="env")
+                       minibatch_mode="env", rollout_backend="xla",
+                       grad_backend="xla")
     variants = {
         "xla": base,
         "pallas": base.replace(rollout_backend="pallas",

@@ -277,6 +277,7 @@ def test_trainer_backend_equivalence_masked():
     assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
 
 
+@pytest.mark.slow
 def test_global_obs_kernel_bit_exact():
     """Global-view obs built in-kernel == the XLA engine's observe()
     (docs/SEMANTICS.md §10 global branch incl. the ch4 wall channel) —

@@ -68,6 +68,7 @@ def test_params_stay_in_sync_across_shards():
             np.testing.assert_array_equal(per_dev[0], d)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys
 
@@ -89,6 +90,7 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
 
+@pytest.mark.slow
 def test_sharded_pallas_backends_run():
     """The fused act + grad kernels compose with shard_map over the
     `data` mesh axis (interpret mode; per-shard local kernels, grads

@@ -86,6 +86,7 @@ def run_parity(cfg, B, T, policy, seed=0):
         )
 
 
+@pytest.mark.slow
 def test_native_parity_greedy_small():
     run_parity(small_config(max_steps=10**9), B=16, T=24, policy="greedy")
 

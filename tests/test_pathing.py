@@ -127,6 +127,7 @@ def test_bfs_equals_plain_greedy_on_open_floor():
         state, _ = engine.step(cfg, state, a_plain)
 
 
+@pytest.mark.slow
 def test_bfs_beats_plain_greedy_on_shelves():
     """The whole point: plain greedy grinds into racks (docs/RESULTS.md),
     greedy_bfs routes around them."""

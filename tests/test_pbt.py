@@ -35,7 +35,8 @@ def test_pbt_run_end_to_end(tmp_path):
 def test_pbt_with_knobs_smoke():
     """PBT honors mask_actions/shaping/adaptive-KL/bootstrap (the knobs
     it silently lacked before the shared-core refactor)."""
-    import jax
+    import pytest
+import jax
 
     from warehouse_tpu.train.pbt import make_pbt_trainer
 
@@ -51,6 +52,7 @@ def test_pbt_with_knobs_smoke():
         assert np.isfinite(np.asarray(v)).all(), k
 
 
+@pytest.mark.slow
 def test_pbt_meshed_pop_times_data():
     """Population sharded over `pop` × env batch sharded over `data` on
     the 8-device virtual mesh; run_pbt end-to-end incl. the cross-shard

@@ -50,8 +50,10 @@ def test_oracle_invariants_random_configs(cfg, seed, data):
 
 @settings(max_examples=10, deadline=None)
 @given(cfg=env_configs(), seed=st.integers(0, 2**31 - 1))
+@pytest.mark.slow
 def test_engine_matches_oracle_random_configs(cfg, seed):
-    import jax
+    import pytest
+import jax
 
     from warehouse_tpu.env import engine
 

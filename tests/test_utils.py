@@ -17,8 +17,10 @@ def test_steps_per_second_meter():
     assert r > 0
 
 
+@pytest.mark.slow
 def test_trace_writes_files(tmp_path):
-    import jax
+    import pytest
+import jax
     import jax.numpy as jnp
 
     from warehouse_tpu.utils import annotate, trace
