@@ -1,6 +1,7 @@
 """PBT trainer tests: exploit/explore loop, knobs, and the (pop, data)
 mesh path (SURVEY.md §4.5 — 8 fake CPU devices from conftest)."""
 
+import pytest
 import numpy as np
 
 from warehouse_tpu import TrainConfig, small_config
@@ -35,8 +36,7 @@ def test_pbt_run_end_to_end(tmp_path):
 def test_pbt_with_knobs_smoke():
     """PBT honors mask_actions/shaping/adaptive-KL/bootstrap (the knobs
     it silently lacked before the shared-core refactor)."""
-    import pytest
-import jax
+    import jax
 
     from warehouse_tpu.train.pbt import make_pbt_trainer
 

@@ -8,6 +8,7 @@ high contention — the 15x15/8-agent stress shape (BASELINE config 3)
 plus the walled shelves layout — under hypothesis-driven action streams.
 """
 
+import pytest
 import functools
 
 import numpy as np
@@ -52,8 +53,7 @@ def test_oracle_invariants_random_configs(cfg, seed, data):
 @given(cfg=env_configs(), seed=st.integers(0, 2**31 - 1))
 @pytest.mark.slow
 def test_engine_matches_oracle_random_configs(cfg, seed):
-    import pytest
-import jax
+    import jax
 
     from warehouse_tpu.env import engine
 

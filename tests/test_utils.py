@@ -1,5 +1,6 @@
 """utils/: profiling + debug helpers."""
 
+import pytest
 import os
 
 import numpy as np
@@ -19,8 +20,7 @@ def test_steps_per_second_meter():
 
 @pytest.mark.slow
 def test_trace_writes_files(tmp_path):
-    import pytest
-import jax
+    import jax
     import jax.numpy as jnp
 
     from warehouse_tpu.utils import annotate, trace
