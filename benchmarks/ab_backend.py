@@ -67,6 +67,15 @@ def main() -> None:
                                   pallas_block=args.block,
                                   grad_backend="pallas",
                                   model_dtype="bfloat16"),
+        "both_b128": base.replace(rollout_backend="pallas",
+                                  pallas_block=128,
+                                  grad_backend="pallas"),
+        "both_b512": base.replace(rollout_backend="pallas",
+                                  pallas_block=512,
+                                  grad_backend="pallas"),
+        "both_b1024": base.replace(rollout_backend="pallas",
+                                   pallas_block=1024,
+                                   grad_backend="pallas"),
         "both_e512": base.replace(rollout_backend="pallas",
                                   pallas_block=args.block,
                                   grad_backend="pallas",
