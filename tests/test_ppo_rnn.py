@@ -162,3 +162,19 @@ def test_rnn_epoch_shuffle_once_learns():
         assert np.isfinite(float(v)), f"{k} not finite"
     assert not np.array_equal(
         np.asarray(p0), np.asarray(jax.tree.leaves(rs.params)[0]))
+
+
+def test_gru_trainer_end_to_end_learns():
+    """End-to-end GRU trainer: finite metrics, params move."""
+    import jax
+    import numpy as np
+
+    trainer = make_rnn_trainer()
+    rs = trainer.init(jax.random.PRNGKey(0))
+    p0 = jax.tree.leaves(rs.params)[0].copy()
+    for _ in range(2):
+        rs, m = trainer.train_step(rs)
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+    assert not np.array_equal(
+        np.asarray(p0), np.asarray(jax.tree.leaves(rs.params)[0]))

@@ -305,6 +305,13 @@ def make_train_rnn(
             _, (logits, value) = jax.lax.scan(
                 cell_step, h_init, (obs, mask, done)
             )
+            # NOTE (measured null result, docs/RESULTS.md r3s1): hoisting
+            # the encoder/head/input-side GRU projections out of this
+            # scan into big batched matmuls REGRESSED on-chip (37.4 ->
+            # 53.2 ms/update f32; 25.2 -> 30.5 bf16) — the materialized
+            # [T, N, H] projection tensors cost more HBM traffic than
+            # the per-step ops XLA already fuses. Keep the per-step
+            # apply.
             return ppo_losses(
                 logits, value, action, old_lp, old_v, adv, tgt,
                 clip_eps=tcfg.clip_eps, value_coef=tcfg.value_coef,
