@@ -196,14 +196,17 @@ def bench_trained(jax, jnp, family="ppo", backend="pallas"):
     rs, m = trainer.train_many(rs, n)
     _ = float(m["loss"][-1])
     _progress(f"{family}[{backend}]: timing …")
-    best = None
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         rs, m = trainer.train_many(rs, n)
         _ = float(m["loss"][-1])
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return n * tcfg.num_envs * tcfg.unroll_length / best
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    # Spread across timed blocks: chip-weather diagnostic (a wide
+    # spread means tunnel variance, not a code regression).
+    spread = round(max(times) / best, 2)
+    return n * tcfg.num_envs * tcfg.unroll_length / best, spread
 
 
 def run_path(path: str) -> None:
@@ -224,12 +227,12 @@ def run_path(path: str) -> None:
         # Trained paths: the fused Pallas act-phase backend
         # (pallas/act.py); each falls back to the XLA scan backend.
         try:
-            out = {"sps": bench_trained(jax, jnp, path, "pallas"),
-                   "backend": "pallas"}
+            sps, spread = bench_trained(jax, jnp, path, "pallas")
+            out = {"sps": sps, "spread": spread, "backend": "pallas"}
         except Exception as e:
             _progress(f"{path} pallas backend FAILED: {e!r}")
-            out = {"sps": bench_trained(jax, jnp, path, "xla"),
-                   "backend": "xla"}
+            sps, spread = bench_trained(jax, jnp, path, "xla")
+            out = {"sps": sps, "spread": spread, "backend": "xla"}
     else:
         raise SystemExit(f"unknown path {path!r}")
     print("RESULT " + json.dumps(out))
@@ -295,15 +298,22 @@ def main() -> None:
                 "ppo_vs_baseline": (
                     round(ppo_sps / PER_CHIP_TARGET, 3) if ppo_sps else None
                 ),
+                "ppo_spread": ppo.get("spread") if ppo else None,
                 "impala_steps_per_s": (
                     round(impala["sps"]) if impala else None
                 ),
                 "impala_backend": impala["backend"] if impala else None,
+                "impala_spread": (
+                    impala.get("spread") if impala else None
+                ),
                 "ppo_rnn_steps_per_s": (
                     round(ppo_rnn["sps"]) if ppo_rnn else None
                 ),
                 "ppo_rnn_backend": (
                     ppo_rnn["backend"] if ppo_rnn else None
+                ),
+                "ppo_rnn_spread": (
+                    ppo_rnn.get("spread") if ppo_rnn else None
                 ),
                 "pallas_episode_s": ep_times,
                 "pallas_episode_spread": (
