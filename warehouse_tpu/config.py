@@ -154,6 +154,15 @@ def shelves_config(**kw: Any) -> EnvConfig:
     return EnvConfig(**base)
 
 
+# Adam hyperparameters, defined ONCE: every trainer's
+# optax.chain(clip_by_global_norm, adam(lr, ...)) and the fused SGD
+# kernels' in-kernel Adam (pallas/sgd.py, pallas/sgd_rnn.py) read these
+# — changing the optimizer here changes both paths together.
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-5
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """PPO actor-learner configuration (SURVEY.md §7 PR4)."""

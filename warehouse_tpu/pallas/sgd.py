@@ -77,10 +77,16 @@ def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
     block (summing blocks gives the exact minibatch gradient);
     metric_sums are per-sample sums of (min_pg, sq_max, entropy, kl).
 
-    The backward math mirrors ``jax.grad``'s tie conventions exactly
-    (jnp.minimum routes ties to the first arg; jnp.clip's boundary
-    gradient is 1) — epoch 0 has ratio == 1 everywhere, an exact tie of
-    the surrogate branches, so these rules are load-bearing.
+    Tie handling: at branch ties the kernel routes the full gradient to
+    the FIRST argument (``use1 = pg1 <= pg2``), while ``jax.grad``
+    splits min/max ties 0.5/0.5 (balanced_eq). The two coincide
+    numerically at the load-bearing epoch-0 ties because there
+    ratio == 1 puts both surrogate branches inside the clip interval
+    with IDENTICAL local derivatives — first-arg vs 0.5/0.5 of equal
+    branches is the same number. They differ only in the measure-zero
+    case of a tie exactly at the clip boundary. ``jnp.clip``'s boundary
+    gradient is 1 on both paths (the ``inclip``/``invc`` >=/<= bounds
+    replicate it).
 
     ``mm_dtype=jnp.bfloat16`` runs every matmul's operands in bf16 with
     f32 accumulation (TrainConfig.model_dtype="bfloat16") — the MXU's

@@ -30,7 +30,7 @@ import optax
 from flax import struct
 from jax.sharding import PartitionSpec as P
 
-from ..config import EnvConfig, TrainConfig
+from ..config import ADAM_B1, ADAM_B2, ADAM_EPS, EnvConfig, TrainConfig
 from ..env import engine
 from ..env.batch import (
     observe_batch,
@@ -146,7 +146,8 @@ def make_train_impala(
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
         optax.rmsprop(lr, decay=0.99, eps=0.1)
-        if tcfg.impala_rmsprop else optax.adam(lr, eps=1e-5),
+        if tcfg.impala_rmsprop else optax.adam(
+            lr, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS),
     )
     if tcfg.flat_optimizer:
         tx = optax.flatten(tx)

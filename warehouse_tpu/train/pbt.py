@@ -44,7 +44,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..config import EnvConfig, TrainConfig
+from ..config import ADAM_B1, ADAM_B2, ADAM_EPS, EnvConfig, TrainConfig
 from ..env import engine
 from ..env.batch import step_autoreset_batch
 from ..models import make_model
@@ -126,7 +126,8 @@ def make_pbt_trainer(env_cfg: EnvConfig, tcfg: TrainConfig,
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
         optax.inject_hyperparams(optax.adam)(
-            learning_rate=tcfg.learning_rate, eps=1e-5),
+            learning_rate=tcfg.learning_rate,
+            b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS),
     )
     if tcfg.flat_optimizer:
         # optax.flatten runs the chain on the raveled param vector; its

@@ -24,7 +24,7 @@ import optax
 from flax import struct
 from jax.sharding import PartitionSpec as P
 
-from ..config import EnvConfig, TrainConfig
+from ..config import ADAM_B1, ADAM_B2, ADAM_EPS, EnvConfig, TrainConfig
 from ..env import engine
 from ..env.batch import (
     observe_batch,
@@ -218,6 +218,19 @@ def make_train(
         if b_local % tcfg.num_minibatches:
             problems.append(
                 f"B_local={b_local} % num_minibatches")
+        elif not tcfg.pallas_interpret:
+            # Mirror the kernel wrapper's blkB resolution so an explicit
+            # 'pallas' request fails here (named), not as an opaque
+            # error inside pallas/sgd.py.
+            mbB = b_local // tcfg.num_minibatches
+            blkB = tcfg.sgd_block_envs
+            while mbB % blkB:
+                blkB //= 2
+            if blkB % 128 and blkB != b_local:
+                problems.append(
+                    f"SGD block resolves to {blkB} envs: must be a "
+                    "multiple of 128 (Mosaic lane tiling) or the full "
+                    "env batch")
         if problems:
             raise ValueError(
                 "grad_backend='pallas' unsupported with: "
@@ -232,7 +245,7 @@ def make_train(
         lr = tcfg.learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
-        optax.adam(lr, eps=1e-5),
+        optax.adam(lr, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS),
     )
     if tcfg.flat_optimizer:
         tx = optax.flatten(tx)
@@ -558,6 +571,15 @@ def make_train(
         fields = jnp.stack(frows, axis=1).reshape(
             T * A * FIELD_ROWS, b_local)
 
+        # The fused head matrix has 8 rows (5 logits + value + pad) and
+        # the fields array 16 rows (5 fixed + num_actions mask rows) —
+        # assert the bounds rather than fail as an opaque reshape error
+        # if the action space ever grows past the layout.
+        assert env_cfg.num_actions + 1 <= 8, (
+            f"fused SGD kernel head layout supports <= 7 actions, got "
+            f"{env_cfg.num_actions}")
+        assert 5 + env_cfg.num_actions <= FIELD_ROWS
+
         n_steps = tcfg.ppo_epochs * M
         kw = dict(
             num_minibatches=M, clip_eps=tcfg.clip_eps,
@@ -576,13 +598,14 @@ def make_train(
             else:
                 lr_row = jnp.full((n_steps,), lr, jnp.float32)
             cnt = (steps + 1).astype(jnp.float32)
-            bc1_row = 1.0 - 0.9 ** cnt
-            bc2_row = 1.0 - 0.999 ** cnt
+            bc1_row = 1.0 - ADAM_B1 ** cnt
+            bc2_row = 1.0 - ADAM_B2 ** cnt
             return ppo_sgd_phase_pallas(
                 params, rs.opt_state, obs_bm, fields,
                 lr_row, bc1_row, bc2_row, ent_coef, rs.kl_coeff,
                 num_epochs=tcfg.ppo_epochs,
-                max_grad_norm=tcfg.max_grad_norm, **kw)
+                max_grad_norm=tcfg.max_grad_norm,
+                b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS, **kw)
 
         # Meshed: unrolled per-minibatch grads + pmean + XLA optimizer.
         opt_state = rs.opt_state

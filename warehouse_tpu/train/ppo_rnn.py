@@ -24,7 +24,7 @@ import optax
 from flax import struct
 from jax.sharding import PartitionSpec as P
 
-from ..config import EnvConfig, TrainConfig
+from ..config import ADAM_B1, ADAM_B2, ADAM_EPS, EnvConfig, TrainConfig
 from ..env import engine
 from ..env.batch import step_autoreset_batch
 from ..models import make_model
@@ -142,7 +142,7 @@ def make_train_rnn(
         lr = tcfg.learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
-        optax.adam(lr, eps=1e-5),
+        optax.adam(lr, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS),
     )
     if tcfg.flat_optimizer:
         tx = optax.flatten(tx)
