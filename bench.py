@@ -180,9 +180,11 @@ def bench_trained(jax, jnp, family="ppo", backend="pallas"):
         from warehouse_tpu.train.ppo_rnn import make_train_rnn
 
         if backend == "pallas":
-            # Recurrent fast path: f32 GRU act kernel + bf16 sequence
-            # replay (matmul-bound; docs/RESULTS.md r3s1 — 2.60M vs
-            # 1.62M all-f32-XLA, curve-proven).
+            # Recurrent fast path: f32 GRU act kernel + the fused bf16
+            # sequence-replay SGD kernel (pallas/sgd_rnn.py, round 4;
+            # grad_backend="auto" resolves to it on the chip). bf16
+            # matmuls are the measured win — the replay is matmul-bound
+            # (docs/RESULTS.md r3s1/r4).
             tcfg = tcfg.replace(model_dtype="bfloat16")
         trainer = make_train_rnn(medium_config(), tcfg, arch="gru")
     else:
@@ -206,7 +208,8 @@ def bench_trained(jax, jnp, family="ppo", backend="pallas"):
     # Spread across timed blocks: chip-weather diagnostic (a wide
     # spread means tunnel variance, not a code regression).
     spread = round(max(times) / best, 2)
-    return n * tcfg.num_envs * tcfg.unroll_length / best, spread
+    return (n * tcfg.num_envs * tcfg.unroll_length / best, spread,
+            trainer.backends)
 
 
 def run_path(path: str) -> None:
@@ -227,12 +230,14 @@ def run_path(path: str) -> None:
         # Trained paths: the fused Pallas act-phase backend
         # (pallas/act.py); each falls back to the XLA scan backend.
         try:
-            sps, spread = bench_trained(jax, jnp, path, "pallas")
-            out = {"sps": sps, "spread": spread, "backend": "pallas"}
+            sps, spread, resolved = bench_trained(jax, jnp, path, "pallas")
+            out = {"sps": sps, "spread": spread, "backend": "pallas",
+                   "resolved": resolved}
         except Exception as e:
             _progress(f"{path} pallas backend FAILED: {e!r}")
-            sps, spread = bench_trained(jax, jnp, path, "xla")
-            out = {"sps": sps, "spread": spread, "backend": "xla"}
+            sps, spread, resolved = bench_trained(jax, jnp, path, "xla")
+            out = {"sps": sps, "spread": spread, "backend": "xla",
+                   "resolved": resolved}
     else:
         raise SystemExit(f"unknown path {path!r}")
     print("RESULT " + json.dumps(out))

@@ -295,6 +295,12 @@ class TrainConfig:
     # 1024/8 = 5.22 ms vs 1024/4 = 5.33 vs 512/4 = 5.90 at config 4).
     sgd_block_envs: int = 1024    # env columns per SGD-kernel block
     sgd_rows_per_block: int = 8   # (t, a) row-slots per SGD-kernel block
+    # Recurrent (GRU) sequence-replay SGD kernel block
+    # (warehouse_tpu/pallas/sgd_rnn.py): env columns per block. Each
+    # block runs the full T-step BPTT with the h-sequence in VMEM
+    # scratch ([(T+1)*H, A*blk] f32), so the ceiling is VMEM, not the
+    # MXU — matmuls run at width A*blk regardless.
+    sgd_rnn_block_envs: int = 256
     # Infra
     seed: int = 0
     checkpoint_every: int = 50

@@ -65,51 +65,17 @@ NEG_INF = -1e9          # masked-logit floor (ops/ppo_update.py)
 FIELD_ROWS = 16
 
 
-def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
-                 ent_coef, kl_coeff, inv_n, x, f, weights,
-                 mm_dtype=jnp.float32):
-    """Loss gradient contribution of one sample block.
+def _loss_and_dout(n_act, clip_eps, value_coef, mask_act,
+                   ent_coef, kl_coeff, inv_n, out, f, head_rows):
+    """Clipped-PPO loss chain + d(mean loss)/d(head output).
 
-    ``x [Dp, N]`` obs rows (rows >= D ignored), ``f [16, N]`` fields
-    rows, ``weights = (hidden [(w, b), ...], (wh, bh))`` CURRENT values.
-    Returns ``(dhidden [(dw, db), ...], dwh, dbh, metric_sums [4])`` —
-    grads are d(mean-loss over the minibatch)/dW restricted to this
-    block (summing blocks gives the exact minibatch gradient);
-    metric_sums are per-sample sums of (min_pg, sq_max, entropy, kl).
-
-    Tie handling: at branch ties the kernel routes the full gradient to
-    the FIRST argument (``use1 = pg1 <= pg2``), while ``jax.grad``
-    splits min/max ties 0.5/0.5 (balanced_eq). The two coincide
-    numerically at the load-bearing epoch-0 ties because there
-    ratio == 1 puts both surrogate branches inside the clip interval
-    with IDENTICAL local derivatives — first-arg vs 0.5/0.5 of equal
-    branches is the same number. They differ only in the measure-zero
-    case of a tie exactly at the clip boundary. ``jnp.clip``'s boundary
-    gradient is 1 on both paths (the ``inclip``/``invc`` >=/<= bounds
-    replicate it).
-
-    ``mm_dtype=jnp.bfloat16`` runs every matmul's operands in bf16 with
-    f32 accumulation (TrainConfig.model_dtype="bfloat16") — the MXU's
-    native precision, exactly the tradeoff XLA's bf16-torso Dense makes;
-    the loss chain, grad accumulation, and Adam all stay f32.
+    ``out [>=n_act+1, N]`` raw head outputs (rows 0..n_act-1 logits,
+    row n_act value), ``f [16, N]`` fields rows (FIELD_ROWS layout).
+    Returns ``(d_out [head_rows, N], metric_rows)`` — the loss chain
+    and tie conventions documented on ``_block_grads`` (this IS that
+    kernel's math, factored out so the recurrent sequence-replay
+    kernel in ``sgd_rnn.py`` shares it verbatim).
     """
-    hidden, (wh, bh) = weights
-
-    def dot(a, bmat, dims):
-        return jax.lax.dot_general(
-            a.astype(mm_dtype), bmat.astype(mm_dtype), dims,
-            preferred_element_type=jnp.float32)
-
-    # ---------------- forward (activations stay live in VMEM) --------
-    h = x[:D, :]
-    hs = []
-    xin = h
-    for w, b in hidden:
-        z = dot(w, h, (((1,), (0,)), ((), ()))) + b
-        h = jnp.tanh(z)
-        hs.append(h)
-    out = dot(wh, h, (((1,), (0,)), ((), ()))) + bh         # [8, N]
-
     logit = [out[r:r + 1, :] for r in range(n_act)]
     if mask_act:
         valid = [f[5 + r:6 + r, :] for r in range(n_act)]   # 1.0/0.0
@@ -161,7 +127,7 @@ def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
     # them row-wise (no scalar VMEM writes); the wrapper sums lanes.
     metric_rows = (min_pg, sq_max, ent, old_lp - lp)
 
-    # ---------------- backward --------------------------------------
+    # ---------------- backward to the head output -------------------
     use1 = (pg1 <= pg2).astype(jnp.float32)
     inclip = ((ratio >= 1.0 - clip_eps)
               & (ratio <= 1.0 + clip_eps)).astype(jnp.float32)
@@ -183,9 +149,60 @@ def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
     d_v = value_coef * inv_n * (usem * v_err
                                 + (1.0 - usem) * vc_err * invc)
 
-    n_pad = wh.shape[0] - n_act - 1
+    n_pad = head_rows - n_act - 1
     d_out = jnp.concatenate(
         d_logit + [d_v] + [jnp.zeros_like(d_v)] * n_pad, axis=0)
+    return d_out, metric_rows
+
+
+def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
+                 ent_coef, kl_coeff, inv_n, x, f, weights,
+                 mm_dtype=jnp.float32):
+    """Loss gradient contribution of one sample block.
+
+    ``x [Dp, N]`` obs rows (rows >= D ignored), ``f [16, N]`` fields
+    rows, ``weights = (hidden [(w, b), ...], (wh, bh))`` CURRENT values.
+    Returns ``(dhidden [(dw, db), ...], dwh, dbh, metric_sums [4])`` —
+    grads are d(mean-loss over the minibatch)/dW restricted to this
+    block (summing blocks gives the exact minibatch gradient);
+    metric_sums are per-sample sums of (min_pg, sq_max, entropy, kl).
+
+    Tie handling: at branch ties the kernel routes the full gradient to
+    the FIRST argument (``use1 = pg1 <= pg2``), while ``jax.grad``
+    splits min/max ties 0.5/0.5 (balanced_eq). The two coincide
+    numerically at the load-bearing epoch-0 ties because there
+    ratio == 1 puts both surrogate branches inside the clip interval
+    with IDENTICAL local derivatives — first-arg vs 0.5/0.5 of equal
+    branches is the same number. They differ only in the measure-zero
+    case of a tie exactly at the clip boundary. ``jnp.clip``'s boundary
+    gradient is 1 on both paths (the ``inclip``/``invc`` >=/<= bounds
+    replicate it).
+
+    ``mm_dtype=jnp.bfloat16`` runs every matmul's operands in bf16 with
+    f32 accumulation (TrainConfig.model_dtype="bfloat16") — the MXU's
+    native precision, exactly the tradeoff XLA's bf16-torso Dense makes;
+    the loss chain, grad accumulation, and Adam all stay f32.
+    """
+    hidden, (wh, bh) = weights
+
+    def dot(a, bmat, dims):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), bmat.astype(mm_dtype), dims,
+            preferred_element_type=jnp.float32)
+
+    # ---------------- forward (activations stay live in VMEM) --------
+    h = x[:D, :]
+    hs = []
+    xin = h
+    for w, b in hidden:
+        z = dot(w, h, (((1,), (0,)), ((), ()))) + b
+        h = jnp.tanh(z)
+        hs.append(h)
+    out = dot(wh, h, (((1,), (0,)), ((), ()))) + bh         # [8, N]
+
+    d_out, metric_rows = _loss_and_dout(
+        n_act, clip_eps, value_coef, mask_act, ent_coef, kl_coeff,
+        inv_n, out, f, wh.shape[0])
 
     h_last = hs[-1]
     dwh = dot(d_out, h_last, (((1,), (1,)), ((), ())))
@@ -204,6 +221,31 @@ def _block_grads(D, n_act, clip_eps, value_coef, mask_act,
         if li > 0:
             dh = dot(hidden[li][0], dz, (((0,), (0,)), ((), ())))
     return dhidden, dwh, dbh, metric_rows
+
+
+def _clip_adam_step(p_scr, m_scr, v_scr, g_scr, lr, bc1, bc2,
+                    b1, b2, eps, max_grad_norm):
+    """In-kernel ``optax.chain(clip_by_global_norm, adam)`` EXACTLY:
+    clip scale = select(norm < max, 1, (g / norm) * max); adam with
+    precomputed bias corrections ``bc1/bc2``; update = -lr * mhat /
+    (sqrt(vhat) + eps). Mutates the p/m/v scratch refs in place.
+    Shared by the MLP phase kernel here and the recurrent
+    sequence-replay kernel (sgd_rnn.py)."""
+    gs = [g[...] for g in g_scr]
+    ss = jnp.float32(0.0)
+    for g in gs:
+        ss = ss + jnp.sum(g * g)
+    norm = jnp.sqrt(ss)
+    trigger = norm < max_grad_norm
+    for k in range(len(p_scr)):
+        g = gs[k]
+        g = jnp.where(trigger, g, (g / norm) * max_grad_norm)
+        m_new = b1 * m_scr[k][...] + (1.0 - b1) * g
+        v_new = b2 * v_scr[k][...] + (1.0 - b2) * (g * g)
+        m_scr[k][...] = m_new
+        v_scr[k][...] = v_new
+        upd = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+        p_scr[k][...] = p_scr[k][...] - lr * upd
 
 
 def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
@@ -280,28 +322,9 @@ def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
 
     @pl.when(j == n_blk - 1)
     def _opt_step():
-        # optax.chain(clip_by_global_norm, adam) EXACTLY: clip scale =
-        # select(norm < max, 1, (g / norm) * max); adam with
-        # precomputed bias corrections; update = -lr * mhat /
-        # (sqrt(vhat) + eps).
-        gs = [g[...] for g in g_scr]
-        ss = jnp.float32(0.0)
-        for g in gs:
-            ss = ss + jnp.sum(g * g)
-        norm = jnp.sqrt(ss)
-        trigger = norm < max_grad_norm
-        lr = scal_steps[s, 0]
-        bc1 = scal_steps[s, 1]
-        bc2 = scal_steps[s, 2]
-        for k in range(n_t):
-            g = gs[k]
-            g = jnp.where(trigger, g, (g / norm) * max_grad_norm)
-            m_new = b1 * m_scr[k][...] + (1.0 - b1) * g
-            v_new = b2 * v_scr[k][...] + (1.0 - b2) * (g * g)
-            m_scr[k][...] = m_new
-            v_scr[k][...] = v_new
-            upd = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
-            p_scr[k][...] = p_scr[k][...] - lr * upd
+        _clip_adam_step(p_scr, m_scr, v_scr, g_scr,
+                        scal_steps[s, 0], scal_steps[s, 1],
+                        scal_steps[s, 2], b1, b2, eps, max_grad_norm)
         met_out[...] = macc[...]
 
     @pl.when((s == n_steps - 1) & (j == n_blk - 1))
@@ -444,6 +467,48 @@ def rebuild_opt_state(opt_state, new_mu, new_nu, n_steps: int):
         return node
 
     return rec(opt_state)
+
+
+def pack_obs_bm(obs, obs_dim: int):
+    """[T, B, A, D] trajectory obs -> the kernels' native batch-minor
+    layout [T*A*Dp, B] (XLA-rollout fallback; the Pallas act kernels
+    emit this layout directly as ``ActRollout.obs_bm``)."""
+    T, B, A, D = obs.shape
+    Dp = _pad8(obs_dim)
+    return jnp.pad(
+        obs.transpose(0, 2, 3, 1),
+        ((0, 0), (0, 0), (0, Dp - D), (0, 0))).reshape(T * A * Dp, B)
+
+
+def pack_fields(action, log_prob, value, adv_n, targets, mask,
+                num_actions: int):
+    """[T, B, A]-shaped per-sample tensors -> the fields array
+    [T*A*FIELD_ROWS, B] (row layout documented at FIELD_ROWS).
+    ``adv_n`` must already be normalized per minibatch."""
+    T, B, A = action.shape
+
+    def row_ta(x):
+        return x.transpose(0, 2, 1).reshape(T * A, B)
+
+    frows = [row_ta(action.astype(jnp.float32)), row_ta(log_prob),
+             row_ta(value), row_ta(adv_n), row_ta(targets)]
+    for r in range(num_actions):
+        frows.append(row_ta(mask[..., r].astype(jnp.float32)))
+    frows += [jnp.zeros((T * A, B), jnp.float32)] * (
+        FIELD_ROWS - len(frows))
+    return jnp.stack(frows, axis=1).reshape(T * A * FIELD_ROWS, B)
+
+
+def normalize_adv_env_minibatch(advantages, num_minibatches: int):
+    """Normalize advantages per CONTIGUOUS-ENV minibatch (the
+    ``ppo_losses(normalize_adv=False)`` convention for the fused
+    kernels' env-column minibatches). ``advantages [T, B, A]``."""
+    T, B, A = advantages.shape
+    adv_g = advantages.reshape(T, num_minibatches,
+                               B // num_minibatches, A)
+    mean = adv_g.mean(axis=(0, 2, 3), keepdims=True)
+    std = adv_g.std(axis=(0, 2, 3), keepdims=True)
+    return ((adv_g - mean) / (std + 1e-8)).reshape(T, B, A)
 
 
 def _pick_k_ta(ta: int, want: int) -> int:

@@ -224,6 +224,11 @@ def main(argv=None) -> None:
             log.info("resumed from update %d", start_update)
 
     metrics = MetricsLogger(args.metrics_path, args.tensorboard_dir)
+    # Record the RESOLVED backends (rollout_backend/grad_backend=auto
+    # resolve per hardware + envelope): the metrics file must say which
+    # compute path actually produced the numbers.
+    metrics.log_meta({"algo": args.algo, "arch": args.arch,
+                      "backends": trainer.backends})
     steps_per_update = tcfg.num_envs * tcfg.unroll_length
     t_last = time.time()
     for u in range(start_update, tcfg.num_updates, args.log_every):

@@ -101,21 +101,31 @@ def make_train_impala(
             f"micro_batches={tcfg.micro_batches} must divide the "
             f"per-minibatch env count {mb_envs_chk}")
 
+    from .backends import log_auto_resolution
+
     rollout_backend = tcfg.rollout_backend
     if rollout_backend == "auto":
         # Fast fused acting on real TPU hardware when in-envelope.
-        import logging
-
-        ok = (jax.default_backend() == "tpu" and arch == "mlp"
-              and tcfg.model_dtype == "float32"
-              and not env_cfg.global_obs
-              and env_cfg.max_steps % tcfg.unroll_length == 0
-              and b_local % tcfg.pallas_block == 0
-              and (tcfg.pallas_block % 128 == 0
-                   or tcfg.pallas_block == b_local))
-        rollout_backend = "pallas" if ok else "xla"
-        logging.getLogger("warehouse_tpu").info(
-            "rollout_backend=auto -> %s (impala)", rollout_backend)
+        reasons = []
+        if jax.default_backend() != "tpu":
+            reasons.append("not on TPU hardware")
+        if arch != "mlp":
+            reasons.append(f"arch={arch!r} (kernel implements MLP)")
+        if tcfg.model_dtype != "float32":
+            reasons.append("model_dtype")
+        if env_cfg.global_obs:
+            reasons.append("global_obs")
+        if env_cfg.max_steps % tcfg.unroll_length:
+            reasons.append("max_steps % unroll_length != 0")
+        if b_local % tcfg.pallas_block:
+            reasons.append(
+                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
+        elif not (tcfg.pallas_block % 128 == 0
+                  or tcfg.pallas_block == b_local):
+            reasons.append(f"pallas_block={tcfg.pallas_block} % 128")
+        rollout_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("rollout_backend", rollout_backend,
+                            reasons, "impala")
     use_pallas = rollout_backend == "pallas"
     if use_pallas:
         problems = []
@@ -437,6 +447,7 @@ def make_train_impala(
         env_cfg=env_cfg,
         tcfg=tcfg,
         mesh=mesh,
+        backends={"rollout": rollout_backend, "grad": "xla"},
     )
 
 
@@ -451,3 +462,4 @@ class ImpalaTrainer(NamedTuple):
     env_cfg: EnvConfig
     tcfg: TrainConfig
     mesh: Any
+    backends: dict = {}     # RESOLVED {"rollout": ..., "grad": ...}

@@ -30,6 +30,17 @@ class MetricsLogger:
             except Exception as e:  # TF/TB optional
                 logger.warning("TensorBoard writer unavailable: %s", e)
 
+    def log_meta(self, meta: Mapping) -> None:
+        """One non-scalar metadata record (e.g. the RESOLVED rollout/
+        grad backends) at run start — so metrics.jsonl says which
+        compute path actually produced the numbers."""
+        rec = {"meta": True, "time": time.time()}
+        rec.update(meta)
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        logger.info("run meta: %s", json.dumps(meta))
+
     def log(self, step: int, metrics: Mapping[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})

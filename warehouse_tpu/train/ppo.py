@@ -148,30 +148,55 @@ def make_train(
 
     # "auto" backends: the fast fused path on real TPU hardware when
     # the config is inside the kernel envelopes, "xla" otherwise. An
-    # EXPLICIT "pallas" request still fails loudly below.
+    # EXPLICIT "pallas" request still fails loudly below. A fallback to
+    # XLA on real TPU hardware is a WARNING (the user is leaving the
+    # fast path on the hardware it exists for), and the resolved
+    # backends ride home on ``PPOTrainer.backends`` so metrics.jsonl
+    # and bench.py can record what actually ran (VERDICT r3 item 6).
+    from .backends import log_auto_resolution
+
     rollout_backend = tcfg.rollout_backend
     grad_backend = tcfg.grad_backend
-    if "auto" in (rollout_backend, grad_backend):
-        import logging
-
-        on_tpu = jax.default_backend() == "tpu"
-        log = logging.getLogger("warehouse_tpu")
     if rollout_backend == "auto":
-        ok = (on_tpu and arch == "mlp"
-              and env_cfg.max_steps % tcfg.unroll_length == 0
-              and b_local % tcfg.pallas_block == 0
-              and (tcfg.pallas_block % 128 == 0
-                   or tcfg.pallas_block == b_local))
-        rollout_backend = "pallas" if ok else "xla"
-        log.info("rollout_backend=auto -> %s", rollout_backend)
+        reasons = []
+        if jax.default_backend() != "tpu":
+            reasons.append("not on TPU hardware")
+        if arch != "mlp":
+            reasons.append(f"arch={arch!r} (kernel implements MLP)")
+        if env_cfg.max_steps % tcfg.unroll_length:
+            reasons.append("max_steps % unroll_length != 0")
+        if b_local % tcfg.pallas_block:
+            reasons.append(
+                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
+        elif not (tcfg.pallas_block % 128 == 0
+                  or tcfg.pallas_block == b_local):
+            reasons.append(f"pallas_block={tcfg.pallas_block} % 128")
+        rollout_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("rollout_backend", rollout_backend,
+                            reasons, "ppo")
     if grad_backend == "auto":
-        mb_ok = (b_local % tcfg.num_minibatches == 0
-                 and (b_local // tcfg.num_minibatches) % 128 == 0)
-        ok = (on_tpu and arch == "mlp" and policy_groups is None
-              and use_state_shuffle and tcfg.micro_batches == 1
-              and not tcfg.flat_optimizer and mb_ok)
-        grad_backend = "pallas" if ok else "xla"
-        log.info("grad_backend=auto -> %s", grad_backend)
+        reasons = []
+        if jax.default_backend() != "tpu":
+            reasons.append("not on TPU hardware")
+        if arch != "mlp":
+            reasons.append(f"arch={arch!r} (kernel implements MLP)")
+        if policy_groups is not None:
+            reasons.append("policy_groups")
+        if not use_state_shuffle:
+            reasons.append("epoch_shuffle != 'once' or "
+                           "minibatch_mode != 'env'")
+        if tcfg.micro_batches != 1:
+            reasons.append("micro_batches != 1")
+        if tcfg.flat_optimizer:
+            reasons.append("flat_optimizer")
+        if b_local % tcfg.num_minibatches:
+            reasons.append(f"B_local={b_local} % num_minibatches")
+        elif (b_local // tcfg.num_minibatches) % 128:
+            reasons.append(
+                f"minibatch envs {b_local // tcfg.num_minibatches} "
+                "% 128 (Mosaic lane tiling)")
+        grad_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("grad_backend", grad_backend, reasons, "ppo")
 
     use_pallas = rollout_backend == "pallas"
     if use_pallas:
@@ -529,47 +554,31 @@ def make_train(
         """
         import optax as _optax
 
-        from ..pallas.act import _pad8
         from ..pallas.sgd import (
             FIELD_ROWS,
             find_adam_state,
+            normalize_adv_env_minibatch,
+            pack_fields,
+            pack_obs_bm,
             ppo_minibatch_grads_pallas,
             ppo_sgd_phase_pallas,
         )
 
-        T, A, D = (tcfg.unroll_length, env_cfg.num_agents,
-                   env_cfg.obs_dim)
+        D = env_cfg.obs_dim
         M = tcfg.num_minibatches
-        mbB = b_local // M
-        Dp = _pad8(D)
 
         # Advantages normalized per contiguous-env minibatch (the
         # ppo_losses(normalize_adv=False) convention).
-        adv_g = advantages.reshape(T, M, mbB, A)
-        mean = adv_g.mean(axis=(0, 2, 3), keepdims=True)
-        std = adv_g.std(axis=(0, 2, 3), keepdims=True)
-        adv_n = ((adv_g - mean) / (std + 1e-8)).reshape(T, b_local, A)
+        adv_n = normalize_adv_env_minibatch(advantages, M)
 
         if obs_bm is None:
             # XLA-rollout fallback: ONE layout pass per update into the
             # kernel's native [T*A*Dp, B] batch-minor form.
-            obs_bm = jnp.pad(
-                traj.obs.transpose(0, 2, 3, 1),
-                ((0, 0), (0, 0), (0, Dp - D), (0, 0)),
-            ).reshape(T * A * Dp, b_local)
+            obs_bm = pack_obs_bm(traj.obs, D)
 
-        def row_ta(x):  # [T, B, A] -> [T*A, B]
-            return x.transpose(0, 2, 1).reshape(T * A, b_local)
-
-        frows = [row_ta(traj.action.astype(jnp.float32)),
-                 row_ta(traj.log_prob), row_ta(traj.value),
-                 row_ta(adv_n), row_ta(targets)]
-        for r in range(env_cfg.num_actions):
-            frows.append(row_ta(traj.mask[..., r].astype(jnp.float32)))
-        zeros = jnp.zeros((T * A, b_local), jnp.float32)
-        frows += [zeros] * (FIELD_ROWS - len(frows))
-        fields = jnp.stack(frows, axis=1).reshape(
-            T * A * FIELD_ROWS, b_local)
+        fields = pack_fields(traj.action, traj.log_prob, traj.value,
+                             adv_n, targets, traj.mask,
+                             env_cfg.num_actions)
 
         # The fused head matrix has 8 rows (5 logits + value + pad) and
         # the fields array 16 rows (5 fixed + num_actions mask rows) —
@@ -738,6 +747,7 @@ def make_train(
         env_cfg=env_cfg,
         tcfg=tcfg,
         mesh=mesh,
+        backends={"rollout": rollout_backend, "grad": grad_backend},
     )
 
 
@@ -752,3 +762,4 @@ class PPOTrainer(NamedTuple):
     env_cfg: EnvConfig
     tcfg: TrainConfig
     mesh: Any
+    backends: dict = {}     # RESOLVED {"rollout": ..., "grad": ...}

@@ -90,21 +90,86 @@ def make_train_rnn(
     # disappears entirely.
     use_state_shuffle = tcfg.epoch_shuffle == "once"
 
+    from .backends import log_auto_resolution
+
     rollout_backend = tcfg.rollout_backend
     if rollout_backend == "auto":
         # Fast fused GRU acting on real TPU hardware when in-envelope.
-        import logging
+        reasons = []
+        if jax.default_backend() != "tpu":
+            reasons.append("not on TPU hardware")
+        if arch != "gru":
+            reasons.append(f"arch={arch!r} (kernel implements GRU)")
+        if env_cfg.global_obs:
+            reasons.append("global_obs")
+        if tcfg.shaping_coef != 0.0:
+            reasons.append("shaping_coef")
+        if tcfg.bootstrap_truncated:
+            reasons.append("bootstrap_truncated")
+        if env_cfg.max_steps % tcfg.unroll_length:
+            reasons.append("max_steps % unroll_length != 0")
+        if b_local % tcfg.pallas_block:
+            reasons.append(
+                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
+        elif not (tcfg.pallas_block % 128 == 0
+                  or tcfg.pallas_block == b_local):
+            reasons.append(f"pallas_block={tcfg.pallas_block} % 128")
+        rollout_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("rollout_backend", rollout_backend,
+                            reasons, "ppo_rnn")
+    def _rnn_blk(mbB: int) -> int:
+        blkB = tcfg.sgd_rnn_block_envs
+        while mbB % blkB:
+            blkB //= 2
+        return blkB
 
-        ok = (jax.default_backend() == "tpu" and arch == "gru"
-              and not env_cfg.global_obs and tcfg.shaping_coef == 0.0
-              and not tcfg.bootstrap_truncated
-              and env_cfg.max_steps % tcfg.unroll_length == 0
-              and b_local % tcfg.pallas_block == 0
-              and (tcfg.pallas_block % 128 == 0
-                   or tcfg.pallas_block == b_local))
-        rollout_backend = "pallas" if ok else "xla"
-        logging.getLogger("warehouse_tpu").info(
-            "rollout_backend=auto -> %s (rnn)", rollout_backend)
+    grad_backend = tcfg.grad_backend
+    if grad_backend == "auto":
+        # Fused sequence-replay SGD kernel (pallas/sgd_rnn.py) on real
+        # TPU hardware when in-envelope.
+        reasons = []
+        if jax.default_backend() != "tpu":
+            reasons.append("not on TPU hardware")
+        if arch != "gru":
+            reasons.append(f"arch={arch!r} (kernel implements GRU)")
+        if tcfg.epoch_shuffle != "once":
+            reasons.append("epoch_shuffle != 'once'")
+        if tcfg.flat_optimizer:
+            reasons.append("flat_optimizer")
+        if env_cfg.num_actions + 1 > 8:
+            reasons.append(
+                f"num_actions={env_cfg.num_actions} > 7 (head rows)")
+        blkB = _rnn_blk(b_local // tcfg.num_minibatches)
+        if not (blkB % 128 == 0 or blkB == b_local):
+            reasons.append(
+                f"RNN SGD block resolves to {blkB} envs (% 128)")
+        grad_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("grad_backend", grad_backend, reasons,
+                            "ppo_rnn")
+    use_grad_pallas = grad_backend == "pallas"
+    if use_grad_pallas:
+        problems = []
+        if arch != "gru":
+            problems.append(f"arch={arch!r} (kernel implements GRU)")
+        if tcfg.epoch_shuffle != "once":
+            problems.append("epoch_shuffle != 'once'")
+        if tcfg.flat_optimizer:
+            problems.append("flat_optimizer")
+        if env_cfg.num_actions + 1 > 8:
+            problems.append(
+                f"num_actions={env_cfg.num_actions} > 7 (head rows)")
+        if not tcfg.pallas_interpret:
+            blkB = _rnn_blk(b_local // tcfg.num_minibatches)
+            if blkB % 128 and blkB != b_local:
+                problems.append(
+                    f"RNN SGD block resolves to {blkB} envs: must be a"
+                    " multiple of 128 (Mosaic lane tiling) or the full"
+                    " env batch")
+        if problems:
+            raise ValueError(
+                "grad_backend='pallas' unsupported with (rnn): "
+                + ", ".join(problems))
+
     use_pallas = rollout_backend == "pallas"
     if use_pallas:
         problems = []
@@ -220,7 +285,8 @@ def make_train_rnn(
             delivered = roll.delivered
             raw_rew = roll.reward.mean(axis=(1, 2))
             return _learn(rs, params, key, env_state, last_obs, last_h,
-                          h0, traj, delivered, raw_rew)
+                          h0, traj, delivered, raw_rew,
+                          obs_bm=roll.obs_bm)
 
         def env_step(cr, _):
             env_state, obs, h, key = cr
@@ -272,7 +338,7 @@ def make_train_rnn(
 
     # ---------------------------------------------- learn phase (shared)
     def _learn(rs, params, key, env_state, last_obs, last_h, h0, traj,
-               delivered, raw_rew):
+               delivered, raw_rew, obs_bm=None):
         _, last_value, _ = model.apply(params, last_obs, last_h)
         advantages, targets = gae(
             traj.reward, traj.value, traj.done, last_value,
@@ -282,12 +348,26 @@ def make_train_rnn(
             ),
         )
 
+        ent_coef = entropy_coef_at(tcfg, rs.update_idx)
+
+        if use_grad_pallas:
+            # Fused sequence-replay SGD phase (pallas/sgd_rnn.py): the
+            # whole epoch/minibatch BPTT + clip+Adam in one kernel,
+            # zero-copy obs from the GRU act kernel.
+            params, opt_state, losses = _sgd_phase_pallas_rnn(
+                rs, params, h0, traj, advantages, targets, obs_bm,
+                ent_coef)
+            # Mirror the one key split minibatch_epochs consumes so the
+            # two SGD backends stay on identical draw streams.
+            key, _ = jax.random.split(key)
+            return _metrics_tail(rs, params, opt_state, key, env_state,
+                                 last_obs, last_h, losses, delivered,
+                                 raw_rew)
+
         # Sequence batch: [T, B_local, A, ...]; h0 is per-sequence
         # [B_local, ...] and minibatched separately (different env axis).
         seq_batch = (traj.obs, traj.action, traj.log_prob, traj.value,
                      advantages, targets, traj.mask, traj.done)
-
-        ent_coef = entropy_coef_at(tcfg, rs.update_idx)
 
         def loss_fn(params, mb):
             (obs, action, old_lp, old_v, adv, tgt, mask, done), h_init = mb
@@ -356,7 +436,13 @@ def make_train_rnn(
             pmean_axis=DATA_AXIS if mesh is not None else None,
             reshuffle_each_epoch=(tcfg.epoch_shuffle == "each"),
         )
+        return _metrics_tail(rs, params, opt_state, key, env_state,
+                             last_obs, last_h, losses, delivered,
+                             raw_rew)
 
+    # ------------------------------------- metrics + new state (shared)
+    def _metrics_tail(rs, params, opt_state, key, env_state, last_obs,
+                      last_h, losses, delivered, raw_rew):
         mean_kl = losses[4].mean()
         if mesh is not None:
             mean_kl = jax.lax.pmean(mean_kl, DATA_AXIS)
@@ -385,6 +471,87 @@ def make_train_rnn(
             update_idx=rs.update_idx + 1, kl_coeff=kl_coeff,
         )
         return new_rs, metrics
+
+    # --------------------------- fused Pallas SGD phase (sgd_rnn.py)
+    def _sgd_phase_pallas_rnn(rs, params, h0, traj, advantages,
+                              targets, obs_bm, ent_coef):
+        """The whole recurrent epoch/minibatch SGD phase via
+        pallas/sgd_rnn.py. Minibatch m = env columns [m*mbB, (m+1)*mbB)
+        — composition randomized by the pre-rollout env-STATE
+        permutation. Single shard: ONE kernel call (params + Adam
+        moments VMEM-resident across all steps); meshed: per-minibatch
+        grads + pmean + XLA optimizer."""
+        import optax as _optax
+
+        from ..pallas.sgd import (
+            find_adam_state,
+            normalize_adv_env_minibatch,
+            pack_fields,
+            pack_obs_bm,
+        )
+        from ..pallas.sgd_rnn import (
+            ppo_rnn_minibatch_grads_pallas,
+            ppo_rnn_sgd_phase_pallas,
+        )
+
+        D = env_cfg.obs_dim
+        M = tcfg.num_minibatches
+        adv_n = normalize_adv_env_minibatch(advantages, M)
+        if obs_bm is None:
+            # XLA-rollout fallback: one layout pass per update.
+            obs_bm = pack_obs_bm(traj.obs, D)
+        fields = pack_fields(traj.action, traj.log_prob, traj.value,
+                             adv_n, targets, traj.mask,
+                             env_cfg.num_actions)
+        # Rollout-start carry in the act kernel's row layout
+        # [A*H, B] (f32; the bf16 torso's carry casts up).
+        h0_rows = h0.astype(jnp.float32).transpose(1, 2, 0).reshape(
+            A * tcfg.hidden_dim, b_local)
+
+        n_steps = tcfg.ppo_epochs * M
+        kw = dict(
+            num_minibatches=M, unroll_length=tcfg.unroll_length,
+            num_agents=A, clip_eps=tcfg.clip_eps,
+            value_coef=tcfg.value_coef,
+            mask_actions=tcfg.mask_actions, obs_dim=D,
+            block_envs=tcfg.sgd_rnn_block_envs,
+            matmul_dtype=tcfg.model_dtype,
+            interpret=tcfg.pallas_interpret,
+        )
+        if mesh is None:
+            count0, _, _ = find_adam_state(rs.opt_state)
+            steps = count0 + jnp.arange(n_steps)
+            if callable(lr):
+                lr_row = jax.vmap(lr)(steps).astype(jnp.float32)
+            else:
+                lr_row = jnp.full((n_steps,), lr, jnp.float32)
+            cnt = (steps + 1).astype(jnp.float32)
+            bc1_row = 1.0 - ADAM_B1 ** cnt
+            bc2_row = 1.0 - ADAM_B2 ** cnt
+            return ppo_rnn_sgd_phase_pallas(
+                params, rs.opt_state, obs_bm, fields, h0_rows,
+                lr_row, bc1_row, bc2_row, ent_coef, rs.kl_coeff,
+                num_epochs=tcfg.ppo_epochs,
+                max_grad_norm=tcfg.max_grad_norm,
+                b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS, **kw)
+
+        # Meshed: unrolled per-minibatch grads + pmean + XLA optimizer.
+        opt_state = rs.opt_state
+        rows = []
+        for s in range(n_steps):
+            (loss, aux), grads = ppo_rnn_minibatch_grads_pallas(
+                params, obs_bm, fields, h0_rows, s % M, ent_coef,
+                rs.kl_coeff, **kw)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            aux = jax.lax.pmean(aux, DATA_AXIS)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = _optax.apply_updates(params, updates)
+            rows.append((loss, *aux))
+        losses = tuple(
+            jnp.stack([r[i] for r in rows]).reshape(tcfg.ppo_epochs, M)
+            for i in range(5))
+        return params, opt_state, losses
 
     # -------------------------------------------------- jit / shard_map
     init_global = init
@@ -446,4 +613,5 @@ def make_train_rnn(
         init=init, init_global=init_global, train_step=train_step,
         train_many=train_many, shard_runner_state=shard_runner_state,
         model=model, tx=tx, env_cfg=env_cfg, tcfg=tcfg, mesh=mesh,
+        backends={"rollout": rollout_backend, "grad": grad_backend},
     )
