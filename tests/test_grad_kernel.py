@@ -269,3 +269,46 @@ def test_grad_backend_gate_raises():
         make_train(cfg, base, arch="cnn")
     with pytest.raises(ValueError, match="grad_backend"):
         TrainConfig(grad_backend="bogus")
+
+
+@pytest.mark.slow
+def test_trainer_grad_backend_equivalence_policy_groups():
+    """policy_groups inside the fused SGD kernel (round 4): pallas vs
+    xla SGD backends from the same seed with a 2-group policy mapping —
+    env states BIT-equal, per-group params to f32 tolerance. The
+    trace-time group routing (slot % A) must reproduce the XLA
+    MultiPolicyActorCritic one-hot select exactly."""
+    from warehouse_tpu.train.ppo import make_train
+
+    cfg = small_config(max_steps=8)
+    base = TrainConfig(num_envs=16, unroll_length=4, num_updates=3,
+                       num_minibatches=2, ppo_epochs=2, hidden_dim=16,
+                       mask_actions=True, kl_coeff=0.1)
+    groups = (0, 1)  # small_config has 2 agents
+    trx = make_train(cfg, base, policy_groups=groups)
+    trp = make_train(cfg, base.replace(grad_backend="pallas",
+                                       pallas_interpret=True),
+                     policy_groups=groups)
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(3):
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < (
+                2e-4 + 1e-3 * abs(float(mx[k]))), k
+    for a, b in zip(jax.tree.leaves(rsx.env_state),
+                    jax.tree.leaves(rsp.env_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(rsx.params),
+            jax.tree_util.tree_leaves_with_path(rsp.params)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-5,
+                                   err_msg=str(pa))
+    # The two groups actually trained apart (different data per agent).
+    l0 = jax.tree.leaves({"p": rsp.params["params"]["policies_0"]})
+    l1 = jax.tree.leaves({"p": rsp.params["params"]["policies_1"]})
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(l0, l1))

@@ -252,18 +252,28 @@ def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
                 nbe: int, n_blk: int, n_steps: int, mb_n: int,
                 clip_eps: float, value_coef: float,
                 max_grad_norm: float, b1: float, b2: float, eps: float,
-                mask_act: bool, mm_dtype, *refs):
+                mask_act: bool, mm_dtype, groups: tuple, *refs):
     """Fused-phase kernel body; grid = (n_steps, n_blk).
 
     refs: scal_steps SMEM [n_steps, 4] (lr, 1-b1^t, 1-b2^t, 0),
     scal_glob SMEM [1, 4] (ent_coef, kl_coeff, 0, 0),
     obs block [k_ta*Dp, blkB], fields block [k_ta*16, blkB],
-    params in (w, b per hidden + wh, bh), m in (same), v in (same),
-    outs: params, m, v (same shapes), metrics block [8, blkB] of
-    per-lane partial sums (wrapper sums lanes);
+    params in (w, b per hidden + wh, bh) PER POLICY GROUP, m in (same),
+    v in (same), outs: params, m, v (same shapes), metrics block
+    [8, blkB] of per-lane partial sums (wrapper sums lanes);
     scratch: p/m/v/g working copies (same shapes) + macc [8, blkB].
+
+    ``groups``: static agent -> policy-group map (RLlib
+    policy_mapping_fn parity, same convention as pallas/act.py). With
+    k_ta a multiple of len(groups), a block slot's agent index is
+    ``slot % len(groups)`` (rows are (t, a)-slot-major), so weight
+    selection and per-group grad routing are resolved at trace time.
+    The global-norm clip spans ALL groups' grads — exactly the XLA
+    path's optax chain over the full MultiPolicy tree.
     """
-    n_t = 2 * n_hidden + 2              # tensors per params-like group
+    npg = 2 * n_hidden + 2              # tensors per policy group
+    K = max(groups) + 1
+    n_t = K * npg
     it = iter(refs)
     scal_steps = next(it)
     scal_glob = next(it)
@@ -302,21 +312,29 @@ def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
     kl_coeff = scal_glob[0, 1]
     inv_n = jnp.float32(1.0 / mb_n)
 
-    hidden = [(p_scr[2 * li][...], p_scr[2 * li + 1][...])
-              for li in range(n_hidden)]
-    weights = (hidden, (p_scr[-2][...], p_scr[-1][...]))
+    def weights_of(tensors, g):
+        off = g * npg
+        hidden = [(tensors[off + 2 * li][...],
+                   tensors[off + 2 * li + 1][...])
+                  for li in range(n_hidden)]
+        return (hidden, (tensors[off + npg - 2][...],
+                         tensors[off + npg - 1][...]))
+
+    weights_g = [weights_of(p_scr, g) for g in range(K)]
 
     for slot in range(k_ta):
+        g = groups[slot % len(groups)]
+        off = g * npg
         x = obs_ref[slot * Dp:(slot + 1) * Dp, :]
         f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
         dhidden, dwh, dbh, rows = _block_grads(
             D, n_act, clip_eps, value_coef, mask_act,
-            ent_coef, kl_coeff, inv_n, x, f, weights, mm_dtype)
+            ent_coef, kl_coeff, inv_n, x, f, weights_g[g], mm_dtype)
         for li, (dw, db) in enumerate(dhidden):
-            g_scr[2 * li][...] += dw
-            g_scr[2 * li + 1][...] += db
-        g_scr[-2][...] += dwh
-        g_scr[-1][...] += dbh
+            g_scr[off + 2 * li][...] += dw
+            g_scr[off + 2 * li + 1][...] += db
+        g_scr[off + npg - 2][...] += dwh
+        g_scr[off + npg - 1][...] += dbh
         for r, row in enumerate(rows):
             macc[r:r + 1, :] += row
 
@@ -336,16 +354,20 @@ def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
 
 def _grads_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
                   n_blk: int, mb_n: int, clip_eps: float,
-                  value_coef: float, mask_act: bool, mm_dtype, *refs):
+                  value_coef: float, mask_act: bool, mm_dtype,
+                  groups: tuple, *refs):
     """Single-minibatch grads kernel body; grid = (n_blk,).
 
     The multi-device variant: grads leave the kernel so XLA can
     ``pmean`` them across data shards before the optimizer step.
     refs: scal_glob SMEM [1, 4], obs block, fields block, params
-    (w, b ... wh, bh), outs: grads (same shapes) + metrics [8, blkB]
-    of per-lane partial sums (wrapper sums lanes).
+    (w, b ... wh, bh) PER POLICY GROUP, outs: grads (same shapes) +
+    metrics [8, blkB] of per-lane partial sums (wrapper sums lanes).
+    ``groups``: see ``_sgd_kernel``.
     """
-    n_t = 2 * n_hidden + 2
+    npg = 2 * n_hidden + 2
+    K = max(groups) + 1
+    n_t = K * npg
     it = iter(refs)
     scal_glob = next(it)
     obs_ref = next(it)
@@ -367,21 +389,29 @@ def _grads_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
     kl_coeff = scal_glob[0, 1]
     inv_n = jnp.float32(1.0 / mb_n)
 
-    hidden = [(p_in[2 * li][...], p_in[2 * li + 1][...])
-              for li in range(n_hidden)]
-    weights = (hidden, (p_in[-2][...], p_in[-1][...]))
+    def weights_of(g):
+        off = g * npg
+        hidden = [(p_in[off + 2 * li][...],
+                   p_in[off + 2 * li + 1][...])
+                  for li in range(n_hidden)]
+        return (hidden, (p_in[off + npg - 2][...],
+                         p_in[off + npg - 1][...]))
+
+    weights_g = [weights_of(g) for g in range(K)]
 
     for slot in range(k_ta):
+        g = groups[slot % len(groups)]
+        off = g * npg
         x = obs_ref[slot * Dp:(slot + 1) * Dp, :]
         f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
         dhidden, dwh, dbh, rows = _block_grads(
             D, n_act, clip_eps, value_coef, mask_act,
-            ent_coef, kl_coeff, inv_n, x, f, weights, mm_dtype)
+            ent_coef, kl_coeff, inv_n, x, f, weights_g[g], mm_dtype)
         for li, (dw, db) in enumerate(dhidden):
-            g_out[2 * li][...] += dw
-            g_out[2 * li + 1][...] += db
-        g_out[-2][...] += dwh
-        g_out[-1][...] += dbh
+            g_out[off + 2 * li][...] += dw
+            g_out[off + 2 * li + 1][...] += db
+        g_out[off + npg - 2][...] += dwh
+        g_out[off + npg - 1][...] += dbh
         for r, row in enumerate(rows):
             met_out[r:r + 1, :] += row
 
@@ -393,7 +423,16 @@ def _grads_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
 def _flat_tensors(tree):
     """ActorCriticMLP params-structured pytree -> kernel tensor list
     [w0, b0, w1, b1, ..., wh, bh] with kernels pre-transposed [out, in]
-    and the logits/value heads fused+padded (extract_mlp_weights)."""
+    and the logits/value heads fused+padded (extract_mlp_weights).
+    MultiPolicyActorCritic trees (``policies_g`` sub-trees, the RLlib
+    policy_mapping_fn capability) flatten each group's tensors in
+    group order: [g0 tensors..., g1 tensors..., ...]."""
+    if "policies_0" in tree["params"]:
+        out = []
+        for g in range(len(tree["params"])):
+            out.extend(_flat_tensors(
+                {"params": tree["params"][f"policies_{g}"]}))
+        return out
     hidden, (wh, bh) = extract_mlp_weights(tree)
     out = []
     for w, b in hidden:
@@ -404,8 +443,22 @@ def _flat_tensors(tree):
 
 def _unflat_tensors(tensors, template):
     """Inverse of ``_flat_tensors``: kernel tensor list -> pytree with
-    ``template``'s structure (dict or FrozenDict)."""
+    ``template``'s structure (dict or FrozenDict; single- or
+    multi-policy)."""
     import flax
+
+    if "policies_0" in template["params"]:
+        K = len(template["params"])
+        npg = len(tensors) // K
+        tree = {"params": {}}
+        for g in range(K):
+            sub = _unflat_tensors(
+                tensors[g * npg:(g + 1) * npg],
+                {"params": dict(template["params"][f"policies_{g}"])})
+            tree["params"][f"policies_{g}"] = sub["params"]
+        if isinstance(template, flax.core.FrozenDict):
+            tree = flax.core.freeze(tree)
+        return tree
 
     dense = template["params"]
     names = sorted(dense.keys(), key=lambda s: int(s.split("_")[1]))
@@ -511,12 +564,34 @@ def normalize_adv_env_minibatch(advantages, num_minibatches: int):
     return ((adv_g - mean) / (std + 1e-8)).reshape(T, B, A)
 
 
-def _pick_k_ta(ta: int, want: int) -> int:
-    """Largest divisor of ``ta`` that is <= ``want``."""
+def _pick_k_ta(ta: int, want: int, group_mod: int = 1) -> int:
+    """Largest divisor of ``ta`` that is <= ``want`` and a multiple of
+    ``group_mod`` (the agent count when policy groups are active, so a
+    block slot's agent index — hence its group — is static)."""
+    if group_mod > 1:
+        T = ta // group_mod
+        m = max(1, min(want // group_mod, T))
+        while T % m:
+            m -= 1
+        return m * group_mod
     k = min(want, ta)
     while ta % k:
         k -= 1
     return k
+
+
+def _policy_dims(params, p_list, policy_groups):
+    """(groups, K, n_hidden, n_act) for single- or multi-policy."""
+    groups = ((0,) if policy_groups is None
+              else tuple(int(g) for g in policy_groups))
+    K = max(groups) + 1
+    npg = len(p_list) // K
+    n_hidden = (npg - 2) // 2
+    sub = (params["params"] if policy_groups is None
+           else params["params"]["policies_0"])
+    names = sorted(sub.keys(), key=lambda s: int(s.split("_")[1]))
+    n_act = sub[names[-2]]["kernel"].shape[1]
+    return groups, K, n_hidden, n_act
 
 
 def _specs_for(shapes, wspec):
@@ -530,7 +605,7 @@ def ppo_sgd_phase_pallas(
     value_coef: float, max_grad_norm: float, mask_actions: bool,
     obs_dim: int, block_envs: int = 1024, rows_per_block: int = 4,
     b1: float = 0.9, b2: float = 0.999, eps: float = 1e-5,
-    matmul_dtype: str = "float32",
+    matmul_dtype: str = "float32", policy_groups: tuple | None = None,
     interpret: bool = False,
 ):
     """Run the ENTIRE PPO SGD phase in one fused Mosaic kernel.
@@ -543,6 +618,11 @@ def ppo_sgd_phase_pallas(
     across updates); minibatch m = env columns
     ``[m * B/M, (m+1) * B/M)`` — the caller owns composition
     randomization (permute the ENV STATE before the rollout).
+
+    ``policy_groups``: static agent -> group tuple; ``params`` is then
+    a ``MultiPolicyActorCritic`` tree and each (t, a) slot's forward,
+    backward and grad routing use its group's weights — trace-time
+    selection, same convention as the act kernel (pallas/act.py).
 
     Returns ``(new_params, new_opt_state, losses)`` with ``losses`` the
     ``minibatch_epochs`` tuple ``(total, pg, v, ent, kl)`` of
@@ -564,19 +644,18 @@ def ppo_sgd_phase_pallas(
             f"SGD block_envs resolved to {blkB}: must be a multiple of "
             "128 (Mosaic lane tiling) or equal to the env batch")
     nbe = mbB // blkB
-    k_ta = _pick_k_ta(ta, rows_per_block)
-    n_rb = ta // k_ta
-    n_blk = n_rb * nbe
-    mb_n = mbB * ta                       # samples per minibatch
 
     p_list = _flat_tensors(params)
     count, mu, nu = find_adam_state(opt_state)
     m_list = _flat_tensors(mu)
     v_list = _flat_tensors(nu)
-    n_hidden = (len(p_list) - 2) // 2
-    n_act = params["params"][sorted(
-        params["params"].keys(),
-        key=lambda s: int(s.split("_")[1]))[-2]]["kernel"].shape[1]
+    groups, K, n_hidden, n_act = _policy_dims(
+        params, p_list, policy_groups)
+
+    k_ta = _pick_k_ta(ta, rows_per_block, len(groups))
+    n_rb = ta // k_ta
+    n_blk = n_rb * nbe
+    mb_n = mbB * ta                       # samples per minibatch
 
     scal_steps = jnp.stack(
         [lr_row, bc1_row, bc2_row, jnp.zeros_like(lr_row)], axis=1)
@@ -624,7 +703,7 @@ def ppo_sgd_phase_pallas(
         partial(_sgd_kernel, n_hidden, obs_dim, n_act, k_ta, nbe,
                 n_blk, n_steps, mb_n, clip_eps, value_coef,
                 max_grad_norm, b1, b2, eps, mask_actions,
-                jnp.dtype(matmul_dtype)),
+                jnp.dtype(matmul_dtype), groups),
         grid=(n_steps, n_blk),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -657,7 +736,7 @@ def ppo_minibatch_grads_pallas(
     num_minibatches: int, clip_eps: float, value_coef: float,
     mask_actions: bool, obs_dim: int, block_envs: int = 1024,
     rows_per_block: int = 4, matmul_dtype: str = "float32",
-    interpret: bool = False,
+    policy_groups: tuple | None = None, interpret: bool = False,
 ):
     """One minibatch's exact loss + gradient from the act kernel's
     native-layout trajectory (multi-device variant: the caller pmeans
@@ -665,6 +744,7 @@ def ppo_minibatch_grads_pallas(
     unrolls the epoch/minibatch loop). Returns
     ``((total, (pg, v, ent, kl)), grads_pytree)`` — the
     ``jax.value_and_grad(loss_fn, has_aux=True)`` contract.
+    ``policy_groups``: see ``ppo_sgd_phase_pallas``.
     """
     ta_dp, B = obs_bm.shape
     Dp = _pad8(obs_dim)
@@ -681,16 +761,15 @@ def ppo_minibatch_grads_pallas(
             f"SGD block_envs resolved to {blkB}: must be a multiple of "
             "128 (Mosaic lane tiling) or equal to the env batch")
     nbe = mbB // blkB
-    k_ta = _pick_k_ta(ta, rows_per_block)
+
+    p_list = _flat_tensors(params)
+    groups, K, n_hidden, n_act = _policy_dims(
+        params, p_list, policy_groups)
+
+    k_ta = _pick_k_ta(ta, rows_per_block, len(groups))
     n_rb = ta // k_ta
     n_blk = n_rb * nbe
     mb_n = mbB * ta
-
-    p_list = _flat_tensors(params)
-    n_hidden = (len(p_list) - 2) // 2
-    n_act = params["params"][sorted(
-        params["params"].keys(),
-        key=lambda s: int(s.split("_")[1]))[-2]]["kernel"].shape[1]
 
     scal_glob = jnp.stack([
         jnp.asarray(ent_coef, jnp.float32),
@@ -722,7 +801,7 @@ def ppo_minibatch_grads_pallas(
     outs = pl.pallas_call(
         partial(_grads_kernel, n_hidden, obs_dim, n_act, k_ta, n_blk,
                 mb_n, clip_eps, value_coef, mask_actions,
-                jnp.dtype(matmul_dtype)),
+                jnp.dtype(matmul_dtype), groups),
         grid=(n_blk,),
         in_specs=in_specs,
         out_specs=out_specs,

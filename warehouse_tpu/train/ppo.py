@@ -180,8 +180,6 @@ def make_train(
             reasons.append("not on TPU hardware")
         if arch != "mlp":
             reasons.append(f"arch={arch!r} (kernel implements MLP)")
-        if policy_groups is not None:
-            reasons.append("policy_groups")
         if not use_state_shuffle:
             reasons.append("epoch_shuffle != 'once' or "
                            "minibatch_mode != 'env'")
@@ -227,8 +225,6 @@ def make_train(
         # (contiguous env ranges become random env sets), so the only
         # supported cadence is the default env/once one.
         problems = []
-        if policy_groups is not None:
-            problems.append("policy_groups")
         if arch != "mlp":
             problems.append(f"arch={arch!r}")
         if tcfg.epoch_shuffle != "once":
@@ -597,6 +593,7 @@ def make_train(
             block_envs=tcfg.sgd_block_envs,
             rows_per_block=tcfg.sgd_rows_per_block,
             matmul_dtype=tcfg.model_dtype,
+            policy_groups=policy_groups,
             interpret=tcfg.pallas_interpret,
         )
         if mesh is None:
