@@ -109,7 +109,26 @@ def bench_pallas(jax, jnp):
         state, d, r = episode(state)
         _ = int(d)
         ep_times.append(round(time.perf_counter() - t1, 4))
-    return agg_sps, ep_times
+
+    # Floor-calibrated headline (VERDICT r3 item 7): null-jit readback
+    # floor + MIN over per-episode timings — min filters slow-tunnel
+    # episodes, the floor removes the readback tax, so THIS number is
+    # the cross-round-comparable one (the wall-clock aggregate above
+    # conflates kernel quality with chip/tunnel weather).
+    @jax.jit
+    def null():
+        return jnp.float32(0.0)
+
+    float(null())
+    floors = []
+    for _ in range(4):
+        t2 = time.perf_counter()
+        float(null())
+        floors.append(time.perf_counter() - t2)
+    floor = min(floors)
+    cal_denom = min(ep_times) - floor
+    cal_sps = B * T / cal_denom if cal_denom > 0 else None
+    return agg_sps, ep_times, cal_sps
 
 
 def bench_engine(jax, jnp):
@@ -221,8 +240,8 @@ def run_path(path: str) -> None:
 
     enable_compilation_cache()
     if path == "pallas":
-        sps, ep_times = bench_pallas(jax, jnp)
-        out = {"sps": sps, "ep_times": ep_times,
+        sps, ep_times, cal_sps = bench_pallas(jax, jnp)
+        out = {"sps": sps, "ep_times": ep_times, "cal_sps": cal_sps,
                "n_chips": jax.device_count()}
     elif path == "engine":
         out = {"sps": bench_engine(jax, jnp)}
@@ -324,6 +343,13 @@ def main() -> None:
                 "pallas_episode_spread": (
                     round(max(ep_times) / min(ep_times), 2)
                     if ep_times and min(ep_times) > 0 else None
+                ),
+                # Floor-calibrated per-step greedy number — use THIS
+                # for cross-round comparisons (min episode minus the
+                # null-readback floor; weather-insensitive).
+                "pallas_calibrated_steps_per_s": (
+                    round(pallas["cal_sps"])
+                    if pallas and pallas.get("cal_sps") else None
                 ),
             }
         )

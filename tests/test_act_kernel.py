@@ -131,10 +131,10 @@ def test_trainer_backend_equivalence():
     assert bool(jnp.all(rsx.env_state.t == rsp.env_state.t))
 
 
-def make_train_cached(cfg, tcfg):
+def make_train_cached(cfg, tcfg, arch="mlp"):
     from warehouse_tpu.train.ppo import make_train
 
-    return make_train(cfg, tcfg)
+    return make_train(cfg, tcfg, arch=arch)
 
 
 def test_pallas_gate_raises_loudly():
@@ -369,3 +369,63 @@ def test_rnn_pallas_with_bf16_replay_trains():
     assert int(rs.update_idx) == 2
     assert not np.array_equal(
         np.asarray(p0), np.asarray(jax.tree.leaves(rs.params)[0]))
+
+
+def test_cnn_unrolled_conv_matches_model():
+    """extract_cnn_weights: the unrolled [S²*OC, S²*IC] conv matrices +
+    layer loop must reproduce ActorCriticCNN.apply (conv accumulation
+    order aside) — the kernel-level proof for the CNN acting path."""
+    import numpy as np
+
+    from warehouse_tpu.config import small_config
+    from warehouse_tpu.models import make_model
+    from warehouse_tpu.pallas.act import extract_cnn_weights
+
+    cfg = small_config()
+    model = make_model(cfg, arch="cnn", hidden_dim=32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.obs_dim), jnp.float32))
+    rng = np.random.default_rng(1)
+    obs = jnp.asarray(
+        rng.normal(size=(64, cfg.obs_dim)).astype(np.float32))
+    ref_logits, ref_value = model.apply(params, obs)
+
+    wbs, (wh, bh), n_relu, grid_rows = extract_cnn_weights(params, cfg)
+    x = obs.T                                    # [D, N]
+    h = x[:grid_rows, :]
+    for li, (w, b) in enumerate(wbs):
+        z = w @ h + b
+        h = jnp.maximum(z, 0.0) if li < n_relu else jnp.tanh(z)
+        if li == n_relu - 1:
+            h = jnp.concatenate([h, x[grid_rows:, :]], axis=0)
+    out = wh @ h + bh
+    np.testing.assert_allclose(np.asarray(out[:5].T),
+                               np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[5]),
+                               np.asarray(ref_value),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_backend_equivalence_cnn():
+    """rollout_backend='pallas' with arch='cnn' (round 4: convs as
+    unrolled in-kernel matmuls) vs the XLA scan — identical env
+    states, metrics to logit-ulp tolerance."""
+    cfg = small_config().replace(max_steps=8)
+    base = TrainConfig(num_envs=B, unroll_length=4, num_updates=2,
+                       num_minibatches=2, minibatch_mode="env",
+                       hidden_dim=32)
+    trx = make_train_cached(cfg, base, arch="cnn")
+    trp = make_train_cached(
+        cfg, base.replace(rollout_backend="pallas", pallas_block=B,
+                          pallas_interpret=True), arch="cnn")
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(2):
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < 3e-4, k
+    assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
+    assert bool(jnp.all(rsx.env_state.t == rsp.env_state.t))

@@ -255,6 +255,7 @@ def _phi_row(cfg: EnvConfig, tbl_ref, p_r_i, p_c_i, aq_i, cy_i,
 
 def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
                 shaping_coef: float, gamma: float, groups: tuple,
+                n_relu: int, cnn_split: int,
                 *refs):
     """Kernel body. ``refs`` order: state rows (10 in), u/pick/drop,
     gumbel, [bfs table + trunc rows when shaping], weights (2 per
@@ -265,7 +266,16 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
 
     ``groups``: static agent -> policy-group map (RLlib
     policy_mapping_fn parity); weight selection is resolved at trace
-    time, so multi-policy training costs nothing in-kernel."""
+    time, so multi-policy training costs nothing in-kernel.
+
+    ``n_relu``/``cnn_split``: the CNN arch (models/policy.py
+    ActorCriticCNN) runs through the SAME layer loop — its 3x3 SAME
+    convs arrive as UNROLLED dense matrices ([S²*OC, S²*IC], built per
+    call by ``extract_cnn_weights``), so the first ``n_relu`` layers
+    use relu over the ``cnn_split`` grid rows, the 6 self-feature rows
+    re-join after the last conv, and the remaining layers are the tanh
+    dense torso. ``n_relu == 0`` is the plain MLP (layers all tanh over
+    the full obs)."""
     A, R = cfg.num_agents, cfg.queue_capacity
     D = cfg.obs_dim
     Dp = _pad8(D)
@@ -321,20 +331,25 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
             x = jnp.concatenate(obs_rows, axis=0)         # [Dp, B]
             o_obs[pl.ds((t * A + i) * Dp, Dp), :] = x
 
-            # MLP forward on the MXU: weights are pre-transposed
+            # Torso forward on the MXU: weights are pre-transposed
             # [out, in]; agent i's policy group picked at trace time.
+            # CNN (n_relu > 0): first n_relu layers are the UNROLLED
+            # convs (relu) over the grid rows; the self-feature rows
+            # re-join after the last conv; the rest is the tanh dense
+            # torso. MLP is the n_relu == 0 special case.
             wbs = wbs_g[groups[i]]
             wh_ref, bh_ref = heads_g[groups[i]]
-            h = x[:D, :]
-            for w_ref, b_ref in wbs:
-                h = jnp.tanh(
-                    jax.lax.dot_general(
-                        w_ref[:, :], h,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    + b_ref[:, :]
-                )
+            h = x[:cnn_split, :] if n_relu else x[:D, :]
+            for li, (w_ref, b_ref) in enumerate(wbs):
+                z = jax.lax.dot_general(
+                    w_ref[:, :], h,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + b_ref[:, :]
+                h = jnp.maximum(z, 0.0) if li < n_relu else jnp.tanh(z)
+                if n_relu and li == n_relu - 1:
+                    h = jnp.concatenate(
+                        [h, x[cnn_split:D, :]], axis=0)
             out = jax.lax.dot_general(
                 wh_ref[:, :], h,
                 (((1,), (0,)), ((), ())),
@@ -765,6 +780,70 @@ class ActRollout(NamedTuple):
     # XLA dead-code-eliminates this alias and vice versa.
 
 
+def extract_cnn_weights(params, cfg: EnvConfig) -> tuple:
+    """(layer (w,b) list, heads (wh, bh)) for ActorCriticCNN — the 3x3
+    SAME convs UNROLLED into dense [S²*OC, S²*IC] matrices so the
+    kernel's layer loop runs them as plain MXU matmuls (row layout =
+    the channel-last ravel the obs rows already use, so conv output
+    rows line up with the flax ``reshape(-1)`` flatten). One einsum per
+    conv per call — negligible next to the rollout itself.
+
+    Returns ``(wbs, heads, n_relu, grid_rows)``: ``wbs`` = conv pairs
+    (relu) + hidden dense pairs (tanh), kernel layer-loop order.
+    """
+    import numpy as _np
+
+    S = cfg.height if cfg.global_obs else cfg.window_size
+    C = cfg.num_obs_channels
+    P2 = S * S
+    dense = params["params"]
+    conv_names = sorted(
+        (n for n in dense if n.startswith("Conv_")),
+        key=lambda s: int(s.split("_")[1]))
+    dense_names = sorted(
+        (n for n in dense if n.startswith("Dense_")),
+        key=lambda s: int(s.split("_")[1]))
+
+    # Static neighbor one-hot P[po, k, pi]: output position po's k-th
+    # 3x3 tap reads input position pi ('SAME' zero pad -> tap absent).
+    P = _np.zeros((P2, 9, P2), _np.float32)
+    for po in range(P2):
+        ro, co = po // S, po % S
+        for k in range(9):
+            r_, c_ = ro + k // 3 - 1, co + k % 3 - 1
+            if 0 <= r_ < S and 0 <= c_ < S:
+                P[po, k, r_ * S + c_] = 1.0
+    P = jnp.asarray(P)
+
+    wbs = []
+    for name in conv_names:
+        kmat = dense[name]["kernel"].astype(jnp.float32)   # [3,3,IC,OC]
+        ic, oc = kmat.shape[2], kmat.shape[3]
+        k2 = kmat.reshape(9, ic, oc)
+        # M[po*OC+oc, pi*IC+ic] = K[k, ic, oc] at the (po, pi) taps.
+        M = jnp.einsum("pkq,kio->poqi", P, k2).reshape(
+            P2 * oc, P2 * ic)
+        b = jnp.tile(dense[name]["bias"].astype(jnp.float32),
+                     P2).reshape(-1, 1)
+        wbs.append((M, b))
+
+    *hidden_n, logit_n, value_n = dense_names
+    for n in hidden_n:
+        wbs.append((jnp.transpose(dense[n]["kernel"]).astype(jnp.float32),
+                    dense[n]["bias"].astype(jnp.float32)[:, None]))
+    wl = jnp.transpose(dense[logit_n]["kernel"]).astype(jnp.float32)
+    bl = dense[logit_n]["bias"].astype(jnp.float32)[:, None]
+    wv = jnp.transpose(dense[value_n]["kernel"]).astype(jnp.float32)
+    bv = dense[value_n]["bias"].astype(jnp.float32)[:, None]
+    wh = jnp.concatenate([wl, wv], axis=0)
+    bh = jnp.concatenate([bl, bv], axis=0)
+    pad = _pad8(wh.shape[0]) - wh.shape[0]
+    if pad:
+        wh = jnp.pad(wh, ((0, pad), (0, 0)))
+        bh = jnp.pad(bh, ((0, pad), (0, 0)))
+    return wbs, (wh, bh), len(conv_names), P2 * C
+
+
 def extract_mlp_weights(params) -> tuple:
     """(hidden (w,b) list, heads (wh, bh)) from ActorCriticMLP params,
     pre-transposed [out, in] for the kernel's W @ X matmuls; the logits
@@ -786,14 +865,15 @@ def extract_mlp_weights(params) -> tuple:
     return hidden, (wh, bh)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8, 9, 10, 11))
 def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
                        key: jax.Array, block: int = 512,
                        interpret: bool = False,
                        mask_actions: bool = False,
                        shaping_coef: float = 0.0,
                        gamma: float = 0.99,
-                       policy_groups: tuple | None = None):
+                       policy_groups: tuple | None = None,
+                       arch: str = "mlp"):
     """Run the T-step trained acting phase via the fused kernel.
 
     Returns ``(new EnvState, ActRollout, reset_key_last uint32[B, 2])``
@@ -831,7 +911,15 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
             {"params": params["params"][f"policies_{g}"]}
             for g in range(max(groups) + 1)
         ]
-    gw = [extract_mlp_weights(p) for p in ptrees]
+    if arch == "cnn":
+        ext = [extract_cnn_weights(p, cfg) for p in ptrees]
+        gw = [(e[0], e[1]) for e in ext]
+        n_relu, cnn_split = ext[0][2], ext[0][3]
+    elif arch == "mlp":
+        gw = [extract_mlp_weights(p) for p in ptrees]
+        n_relu, cnn_split = 0, 0
+    else:
+        raise ValueError(f"act kernel: unsupported arch {arch!r}")
     n_hidden = len(gw[0][0])
 
     # Canonical env draw stream [T, B] (identical to the XLA path).
@@ -918,7 +1006,7 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
     ) + 12 * 1024 * 1024                      # weights + compiler stack
     outs = pl.pallas_call(
         partial(_act_kernel, cfg, T, n_hidden, mask_actions,
-                shaping_coef, gamma, groups),
+                shaping_coef, gamma, groups, n_relu, cnn_split),
         grid=(B // block,),
         in_specs=in_specs,
         out_specs=out_specs,

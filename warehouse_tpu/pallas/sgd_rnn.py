@@ -393,15 +393,34 @@ def _unflat_rnn_tensors(tensors, template):
     return tree
 
 
-def _resolve_blk(mbB: int, B: int, block_envs: int, interpret: bool):
+VMEM_BUDGET = 90 * 1024 * 1024  # leave headroom under the 100M limit
+
+
+def _resolve_blk(mbB: int, B: int, block_envs: int, interpret: bool,
+                 bytes_per_col: int = 0):
+    """Resolve the env-column block: divide mbB, respect lane tiling,
+    and auto-halve while the estimated VMEM footprint (obs/fields/h0
+    windows double-buffered + h/dout scratch) exceeds the budget — a
+    too-large block must degrade to a smaller one, not crash in Mosaic
+    allocation (measured: blkB=1024 at config-4 shapes is ~115M)."""
     blkB = block_envs
     while mbB % blkB:
+        blkB //= 2
+    while (bytes_per_col and blkB > 128
+           and blkB * bytes_per_col > VMEM_BUDGET):
         blkB //= 2
     if not interpret and blkB % 128 and blkB != B:
         raise ValueError(
             f"RNN SGD block_envs resolved to {blkB}: must be a multiple"
             " of 128 (Mosaic lane tiling) or equal to the env batch")
     return blkB
+
+
+def _bytes_per_col(T: int, A: int, Dp: int, H: int) -> int:
+    """Estimated VMEM bytes per env column of the replay kernel."""
+    windows = 2 * (T * A * Dp + T * A * FIELD_ROWS + A * H)  # dbl-buf
+    scratch = A * ((T + 1) * H + T * HEAD_ROWS)
+    return 4 * (windows + scratch)
 
 
 def _rnn_dims(params, obs_bm, obs_dim):
@@ -446,7 +465,8 @@ def ppo_rnn_sgd_phase_pallas(
     if B % M:
         raise ValueError(f"B={B} not divisible by {M} minibatches")
     mbB = B // M
-    blkB = _resolve_blk(mbB, B, block_envs, interpret)
+    blkB = _resolve_blk(mbB, B, block_envs, interpret,
+                        _bytes_per_col(T, A, Dp, H))
     nbe = mbB // blkB
     mb_n = mbB * T * A
 
@@ -547,7 +567,8 @@ def ppo_rnn_minibatch_grads_pallas(
     if B % M:
         raise ValueError(f"B={B} not divisible by {M} minibatches")
     mbB = B // M
-    blkB = _resolve_blk(mbB, B, block_envs, interpret)
+    blkB = _resolve_blk(mbB, B, block_envs, interpret,
+                        _bytes_per_col(T, A, Dp, H))
     nbe = mbB // blkB
     mb_n = mbB * T * A
 

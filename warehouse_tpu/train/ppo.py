@@ -161,8 +161,9 @@ def make_train(
         reasons = []
         if jax.default_backend() != "tpu":
             reasons.append("not on TPU hardware")
-        if arch != "mlp":
-            reasons.append(f"arch={arch!r} (kernel implements MLP)")
+        if arch not in ("mlp", "cnn"):
+            reasons.append(
+                f"arch={arch!r} (kernel implements MLP/CNN)")
         if env_cfg.max_steps % tcfg.unroll_length:
             reasons.append("max_steps % unroll_length != 0")
         if b_local % tcfg.pallas_block:
@@ -204,8 +205,11 @@ def make_train(
         # model_dtype="bfloat16" is in-envelope: acting runs f32
         # in-kernel (extract_mlp_weights casts); with the fused SGD
         # kernel the torso matmuls run bf16 there (docs/RESULTS.md).
+        # arch="cnn" is in-envelope since round 4: the convs run as
+        # unrolled dense matmuls in-kernel (pallas/act.py
+        # extract_cnn_weights).
         problems = []
-        if arch != "mlp":
+        if arch not in ("mlp", "cnn"):
             problems.append(f"arch={arch!r}")
         if env_cfg.max_steps % tcfg.unroll_length:
             problems.append("max_steps % unroll_length != 0")
@@ -340,7 +344,7 @@ def make_train(
                 cfg_noar, params, env_state_in, tcfg.unroll_length, key,
                 tcfg.pallas_block, tcfg.pallas_interpret,
                 tcfg.mask_actions, tcfg.shaping_coef, tcfg.gamma,
-                policy_groups)
+                policy_groups, arch)
             env_state, last_obs, _ = reset_truncated_batch(
                 cfg_noar, new_env_state, reset_key_last)
             done = jnp.broadcast_to(
