@@ -59,6 +59,14 @@ def main() -> None:
         "impala_mb2": ("impala", base.replace(micro_batches=2)),
         # Cross-family reference: the fully fused PPO at same shapes.
         "ppo_fused": ("ppo", base.replace(grad_backend="pallas")),
+        # Round-4 candidate: fused V-trace learner (vtrace_sgd.py).
+        "impala_fused": ("impala", base.replace(grad_backend="pallas")),
+        "impala_fused_b256": ("impala",
+                              base.replace(grad_backend="pallas",
+                                           impala_block_envs=256)),
+        "impala_fused_b512": ("impala",
+                              base.replace(grad_backend="pallas",
+                                           impala_block_envs=512)),
     }
     if args.only:
         names = args.only.split(",")

@@ -205,3 +205,45 @@ def test_impala_micro_batches_match():
                                    rtol=2e-4, atol=2e-6)
     for k in m1:
         assert abs(float(m1[k]) - float(m4[k])) < 1e-4, k
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_rms", [True, False])
+def test_impala_trainer_grad_backend_equivalence(use_rms):
+    """grad_backend='pallas' (fused V-trace learner, round 4) vs 'xla'
+    from the same seed: identical rollout draw streams -> env states
+    BIT-equal, metrics/params to f32 tolerance — for both IMPALA's
+    canonical RMSProp and the Adam option."""
+    import jax
+
+    trx = make_tiny_trainer(mask_actions=True, impala_passes=2,
+                            impala_rmsprop=use_rms)
+    trp = make_tiny_trainer(mask_actions=True, impala_passes=2,
+                            impala_rmsprop=use_rms,
+                            grad_backend="pallas",
+                            pallas_interpret=True)
+    rsx = trx.init(jax.random.PRNGKey(0))
+    rsp = trp.init(jax.random.PRNGKey(0))
+    for _ in range(3):
+        rsx, mx = trx.train_step(rsx)
+        rsp, mp = trp.train_step(rsp)
+        for k in mx:
+            assert abs(float(mx[k]) - float(mp[k])) < (
+                2e-4 + 1e-3 * abs(float(mx[k]))), k
+    for a, b in zip(jax.tree.leaves(rsx.env_state),
+                    jax.tree.leaves(rsp.env_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(rsx.params),
+                    jax.tree.leaves(rsp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-5)
+
+
+def test_impala_grad_backend_gate_raises():
+    with pytest.raises(ValueError, match="impala.*bootstrap|bootstrap"):
+        make_tiny_trainer(grad_backend="pallas",
+                          bootstrap_truncated=True,
+                          pallas_interpret=True)
+    with pytest.raises(ValueError, match="micro_batches"):
+        make_tiny_trainer(grad_backend="pallas", micro_batches=2,
+                          pallas_interpret=True)

@@ -301,6 +301,11 @@ class TrainConfig:
     # scratch ([(T+1)*H, A*blk] f32), so the ceiling is VMEM, not the
     # MXU — matmuls run at width A*blk regardless.
     sgd_rnn_block_envs: int = 256
+    # Fused IMPALA V-trace learner kernel block
+    # (warehouse_tpu/pallas/vtrace_sgd.py): env columns per block. The
+    # whole block's (t, a) slots concatenate along lanes, so each layer
+    # is ONE matmul at width T*A*blk (8192 lanes at defaults).
+    impala_block_envs: int = 128
     # Infra
     seed: int = 0
     checkpoint_every: int = 50

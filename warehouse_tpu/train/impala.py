@@ -126,6 +126,69 @@ def make_train_impala(
         rollout_backend = "xla" if reasons else "pallas"
         log_auto_resolution("rollout_backend", rollout_backend,
                             reasons, "impala")
+
+    def _blk(mbB: int) -> int:
+        blkB = tcfg.impala_block_envs
+        while mbB % blkB:
+            blkB //= 2
+        return blkB
+
+    grad_backend = tcfg.grad_backend
+    if grad_backend == "auto":
+        # Fused V-trace learner kernel (pallas/vtrace_sgd.py) on real
+        # TPU hardware when in-envelope (round 4 — the learner phase
+        # was the measured 1.9 ms/update deficit vs fused PPO,
+        # benchmarks/ab_impala.py).
+        reasons = []
+        if jax.default_backend() != "tpu":
+            reasons.append("not on TPU hardware")
+        if arch != "mlp":
+            reasons.append(f"arch={arch!r} (kernel implements MLP)")
+        if tcfg.model_dtype != "float32":
+            reasons.append("model_dtype")
+        if tcfg.bootstrap_truncated:
+            reasons.append("bootstrap_truncated")
+        if tcfg.micro_batches != 1:
+            reasons.append("micro_batches != 1")
+        if tcfg.flat_optimizer:
+            reasons.append("flat_optimizer")
+        if env_cfg.num_actions + 1 > 8:
+            reasons.append(
+                f"num_actions={env_cfg.num_actions} > 7 (head rows)")
+        blkB = _blk(b_local // tcfg.num_minibatches)
+        if not (blkB % 128 == 0 or blkB == b_local):
+            reasons.append(
+                f"IMPALA block resolves to {blkB} envs (% 128)")
+        grad_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("grad_backend", grad_backend, reasons,
+                            "impala")
+    use_grad_pallas = grad_backend == "pallas"
+    if use_grad_pallas:
+        problems = []
+        if arch != "mlp":
+            problems.append(f"arch={arch!r}")
+        if tcfg.model_dtype != "float32":
+            problems.append("model_dtype")
+        if tcfg.bootstrap_truncated:
+            problems.append("bootstrap_truncated")
+        if tcfg.micro_batches != 1:
+            problems.append("micro_batches != 1 (the kernel's VMEM "
+                            "block accumulation already is one)")
+        if tcfg.flat_optimizer:
+            problems.append("flat_optimizer")
+        if env_cfg.num_actions + 1 > 8:
+            problems.append(f"num_actions={env_cfg.num_actions} > 7")
+        if not tcfg.pallas_interpret:
+            blkB = _blk(b_local // tcfg.num_minibatches)
+            if blkB % 128 and blkB != b_local:
+                problems.append(
+                    f"IMPALA block resolves to {blkB} envs: must be a"
+                    " multiple of 128 (Mosaic lane tiling) or the full"
+                    " env batch")
+        if problems:
+            raise ValueError(
+                "grad_backend='pallas' unsupported with (impala): "
+                + ", ".join(problems))
     use_pallas = rollout_backend == "pallas"
     if use_pallas:
         problems = []
@@ -216,6 +279,7 @@ def make_train_impala(
                                     roll.reward, done, mask, boot_value)
             delivered = roll.delivered
             raw_rew = roll.reward.mean(axis=(1, 2))
+            obs_bm = roll.obs_bm
         else:
             def env_step(carry, _):
                 env_state, obs, key = carry
@@ -251,6 +315,17 @@ def make_train_impala(
                     env_step, (rs.env_state, rs.obs, key), None,
                     length=tcfg.unroll_length,
                 ))
+            obs_bm = None
+
+        if use_grad_pallas:
+            # Fused V-trace learner phase (pallas/vtrace_sgd.py): the
+            # whole passes x minibatches learner in one kernel,
+            # zero-copy obs from the act kernel.
+            params, opt_state, losses = _learner_phase_pallas(
+                rs, params, traj, last_obs, obs_bm)
+            return _metrics_tail(rs, params, opt_state, env_state,
+                                 last_obs, key, losses, delivered,
+                                 raw_rew)
 
         def loss_fn(params, mb, last_obs_mb):
             # mb leaves are [T, Bmb, A, ...]; the V-trace scan runs on T.
@@ -352,7 +427,12 @@ def make_train_impala(
             one_pass, (params, rs.opt_state), None,
             length=tcfg.impala_passes,
         )
+        return _metrics_tail(rs, params, opt_state, env_state,
+                             last_obs, key, losses, delivered, raw_rew)
 
+    # ------------------------------------- metrics + new state (shared)
+    def _metrics_tail(rs, params, opt_state, env_state, last_obs, key,
+                      losses, delivered, raw_rew):
         mean_reward = raw_rew.mean()
         deliveries = delivered.sum(dtype=jnp.float32) / (
             tcfg.unroll_length * b_local
@@ -377,6 +457,78 @@ def make_train_impala(
             update_idx=rs.update_idx + 1,
         )
         return new_rs, metrics
+
+    # ------------------------- fused V-trace learner (vtrace_sgd.py)
+    def _learner_phase_pallas(rs, params, traj, last_obs, obs_bm):
+        """The whole IMPALA learner phase via pallas/vtrace_sgd.py.
+        Minibatch m = env columns [m*mbB, (m+1)*mbB) — IMPALA's fixed
+        contiguous slices, verbatim. Single shard: ONE kernel call;
+        meshed: per-minibatch grads + pmean + XLA optimizer."""
+        from ..pallas.sgd import pack_obs_bm
+        from ..pallas.vtrace_sgd import (
+            impala_minibatch_grads_pallas,
+            impala_sgd_phase_pallas,
+            pack_impala_fields,
+            pack_last_obs,
+        )
+
+        D = env_cfg.obs_dim
+        A = env_cfg.num_agents
+        M = tcfg.num_minibatches
+        if obs_bm is None:
+            obs_bm = pack_obs_bm(traj.obs, D)
+        fields = pack_impala_fields(
+            traj.action, traj.behavior_log_prob, traj.reward,
+            traj.done, traj.mask, env_cfg.num_actions)
+        lrows = pack_last_obs(last_obs, D)
+
+        n_steps = tcfg.impala_passes * M
+        kw = dict(
+            num_minibatches=M, unroll_length=tcfg.unroll_length,
+            num_agents=A, gamma=tcfg.gamma, rho_clip=tcfg.rho_clip,
+            c_clip=tcfg.c_clip, value_coef=tcfg.value_coef,
+            mask_actions=tcfg.mask_actions, obs_dim=D,
+            block_envs=tcfg.impala_block_envs,
+            matmul_dtype=tcfg.model_dtype,
+            interpret=tcfg.pallas_interpret,
+        )
+        if mesh is None:
+            # Optimizer-step counts advance n_steps per update
+            # (resume restores update_idx and opt_state together).
+            steps = rs.update_idx * n_steps + jnp.arange(n_steps)
+            if callable(lr):
+                lr_row = jax.vmap(lr)(steps).astype(jnp.float32)
+            else:
+                lr_row = jnp.full((n_steps,), lr, jnp.float32)
+            cnt = (steps + 1).astype(jnp.float32)
+            return impala_sgd_phase_pallas(
+                params, rs.opt_state, obs_bm, fields, lrows, lr_row,
+                1.0 - ADAM_B1 ** cnt, 1.0 - ADAM_B2 ** cnt,
+                tcfg.entropy_coef,
+                num_passes=tcfg.impala_passes,
+                max_grad_norm=tcfg.max_grad_norm,
+                use_rms=tcfg.impala_rmsprop, rms_decay=0.99,
+                b1=ADAM_B1, b2=ADAM_B2,
+                eps=0.1 if tcfg.impala_rmsprop else ADAM_EPS, **kw)
+
+        # Meshed: unrolled per-minibatch grads + pmean + XLA optimizer.
+        opt_state = rs.opt_state
+        rows = []
+        for s in range(n_steps):
+            (loss, aux), grads = impala_minibatch_grads_pallas(
+                params, obs_bm, fields, lrows, s % M,
+                tcfg.entropy_coef, **kw)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            aux = jax.lax.pmean(aux, DATA_AXIS)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            rows.append((loss, *aux))
+        losses = tuple(
+            jnp.stack([r[i] for r in rows]).reshape(
+                tcfg.impala_passes, M)
+            for i in range(4))
+        return params, opt_state, losses
 
     # -------------------------------------------------- jit / shard_map
     init_global = init
@@ -447,7 +599,7 @@ def make_train_impala(
         env_cfg=env_cfg,
         tcfg=tcfg,
         mesh=mesh,
-        backends={"rollout": rollout_backend, "grad": "xla"},
+        backends={"rollout": rollout_backend, "grad": grad_backend},
     )
 
 
