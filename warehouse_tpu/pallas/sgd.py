@@ -248,6 +248,64 @@ def _clip_adam_step(p_scr, m_scr, v_scr, g_scr, lr, bc1, bc2,
         p_scr[k][...] = p_scr[k][...] - lr * upd
 
 
+def _slot_sweep(n_hidden, D, n_act, k_ta, clip_eps, value_coef,
+                mask_act, ent_coef, kl_coeff, inv_n, mm_dtype, groups,
+                K, npg, obs_ref, f_ref, weights_g, g_accum, macc):
+    """Sweep the block's k_ta (t, a) slots through ``_block_grads``.
+
+    Single-policy (K == 1): the slots are CONCATENATED along the lane
+    axis and swept as ONE ``_block_grads`` call — every layer matmul
+    runs at width k_ta*blkB (8192 lanes at defaults) instead of k_ta
+    narrow ones (the round-4 lane-concat pattern measured on the fused
+    IMPALA learner, docs/RESULTS.md r4). Multi-policy: per-slot loop
+    with trace-time group routing (slot % A), unchanged.
+    ``g_accum(k, g)`` accumulates grad tensor k; metric rows fold into
+    ``macc`` per blkB chunk.
+    """
+    Dp = _pad8(D)
+    blkB = macc.shape[1]
+
+    def add_rows(rows, width):
+        for r, row in enumerate(rows):
+            acc = row[:, 0:blkB]
+            for c in range(1, width // blkB):
+                acc = acc + row[:, c * blkB:(c + 1) * blkB]
+            macc[r:r + 1, :] += acc
+
+    if K == 1:
+        x = jnp.concatenate(
+            [obs_ref[s * Dp:(s + 1) * Dp, :] for s in range(k_ta)],
+            axis=1)
+        f = jnp.concatenate(
+            [f_ref[s * FIELD_ROWS:(s + 1) * FIELD_ROWS, :]
+             for s in range(k_ta)], axis=1)
+        dhidden, dwh, dbh, rows = _block_grads(
+            D, n_act, clip_eps, value_coef, mask_act,
+            ent_coef, kl_coeff, inv_n, x, f, weights_g[0], mm_dtype)
+        for li, (dw, db) in enumerate(dhidden):
+            g_accum(2 * li, dw)
+            g_accum(2 * li + 1, db)
+        g_accum(npg - 2, dwh)
+        g_accum(npg - 1, dbh)
+        add_rows(rows, k_ta * blkB)
+        return
+
+    for slot in range(k_ta):
+        g = groups[slot % len(groups)]
+        off = g * npg
+        x = obs_ref[slot * Dp:(slot + 1) * Dp, :]
+        f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
+        dhidden, dwh, dbh, rows = _block_grads(
+            D, n_act, clip_eps, value_coef, mask_act,
+            ent_coef, kl_coeff, inv_n, x, f, weights_g[g], mm_dtype)
+        for li, (dw, db) in enumerate(dhidden):
+            g_accum(off + 2 * li, dw)
+            g_accum(off + 2 * li + 1, db)
+        g_accum(off + npg - 2, dwh)
+        g_accum(off + npg - 1, dbh)
+        add_rows(rows, blkB)
+
+
 def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
                 nbe: int, n_blk: int, n_steps: int, mb_n: int,
                 clip_eps: float, value_coef: float,
@@ -322,21 +380,12 @@ def _sgd_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
 
     weights_g = [weights_of(p_scr, g) for g in range(K)]
 
-    for slot in range(k_ta):
-        g = groups[slot % len(groups)]
-        off = g * npg
-        x = obs_ref[slot * Dp:(slot + 1) * Dp, :]
-        f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
-        dhidden, dwh, dbh, rows = _block_grads(
-            D, n_act, clip_eps, value_coef, mask_act,
-            ent_coef, kl_coeff, inv_n, x, f, weights_g[g], mm_dtype)
-        for li, (dw, db) in enumerate(dhidden):
-            g_scr[off + 2 * li][...] += dw
-            g_scr[off + 2 * li + 1][...] += db
-        g_scr[off + npg - 2][...] += dwh
-        g_scr[off + npg - 1][...] += dbh
-        for r, row in enumerate(rows):
-            macc[r:r + 1, :] += row
+    def g_accum(k, g):
+        g_scr[k][...] += g
+
+    _slot_sweep(n_hidden, D, n_act, k_ta, clip_eps, value_coef,
+                mask_act, ent_coef, kl_coeff, inv_n, mm_dtype, groups,
+                K, npg, obs_ref, f_ref, weights_g, g_accum, macc)
 
     @pl.when(j == n_blk - 1)
     def _opt_step():
@@ -399,21 +448,12 @@ def _grads_kernel(n_hidden: int, D: int, n_act: int, k_ta: int,
 
     weights_g = [weights_of(g) for g in range(K)]
 
-    for slot in range(k_ta):
-        g = groups[slot % len(groups)]
-        off = g * npg
-        x = obs_ref[slot * Dp:(slot + 1) * Dp, :]
-        f = f_ref[slot * FIELD_ROWS:(slot + 1) * FIELD_ROWS, :]
-        dhidden, dwh, dbh, rows = _block_grads(
-            D, n_act, clip_eps, value_coef, mask_act,
-            ent_coef, kl_coeff, inv_n, x, f, weights_g[g], mm_dtype)
-        for li, (dw, db) in enumerate(dhidden):
-            g_out[off + 2 * li][...] += dw
-            g_out[off + 2 * li + 1][...] += db
-        g_out[off + npg - 2][...] += dwh
-        g_out[off + npg - 1][...] += dbh
-        for r, row in enumerate(rows):
-            met_out[r:r + 1, :] += row
+    def g_accum(k, g):
+        g_out[k][...] += g
+
+    _slot_sweep(n_hidden, D, n_act, k_ta, clip_eps, value_coef,
+                mask_act, ent_coef, kl_coeff, inv_n, mm_dtype, groups,
+                K, npg, obs_ref, f_ref, weights_g, g_accum, met_out)
 
 
 # --------------------------------------------------------------------
