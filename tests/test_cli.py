@@ -49,6 +49,8 @@ def test_train_and_evaluate_checkpoint(tmp_path, capsys):
     recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
     assert recs and recs[-1]["step"] == 2
     assert np.isfinite(recs[-1]["loss"])
+    # Run-meta record: the resolved backends (VERDICT r3 item 6).
+    assert recs[0].get("meta") and "backends" in recs[0]
 
     eval_main([
         "--env", "small", "--policy", "checkpoint",

@@ -80,8 +80,9 @@ def test_kill_and_resume(tmp_path):
     assert p2.wait(timeout=420) == 0
 
     steps = [
-        json.loads(line)["step"]
+        rec["step"]
         for line in open(tmp_path / "metrics.jsonl")
+        if "step" in (rec := json.loads(line))  # skip run-meta records
     ]
     assert max(steps) == target
     # Metric history covers post-kill updates (resume actually continued).
