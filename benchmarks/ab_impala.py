@@ -29,12 +29,16 @@ def main() -> None:
     p.add_argument("--updates", type=int, default=10)
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--env", choices=["medium", "large"], default="medium",
+                   help="medium = BASELINE config 4; large = config 3 "
+                        "stress geometry (15x15, 8 agents)")
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--only", type=str, default="")
     args = p.parse_args()
     import jax
 
-    from warehouse_tpu.config import TrainConfig, medium_config
+    from warehouse_tpu.config import (TrainConfig, large_config,
+                                      medium_config)
     from warehouse_tpu.train.impala import make_train_impala
     from warehouse_tpu.train.ppo import make_train
     from warehouse_tpu.utils.cache import enable_compilation_cache
@@ -42,7 +46,7 @@ def main() -> None:
     enable_compilation_cache()
     print("devices:", jax.devices(), file=sys.stderr)
 
-    env_cfg = medium_config()
+    env_cfg = (large_config if args.env == "large" else medium_config)()
     base = TrainConfig(num_envs=args.num_envs, unroll_length=16,
                        rollout_backend="pallas",
                        pallas_block=args.block, grad_backend="xla")

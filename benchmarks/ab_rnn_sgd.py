@@ -25,20 +25,24 @@ def main() -> None:
     p.add_argument("--updates", type=int, default=10)
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--env", choices=["medium", "large"], default="medium",
+                   help="medium = BASELINE config 4; large = config 3 "
+                        "stress geometry (15x15, 8 agents)")
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--only", type=str, default="",
                    help="comma-separated variant subset")
     args = p.parse_args()
     import jax
 
-    from warehouse_tpu.config import TrainConfig, medium_config
+    from warehouse_tpu.config import (TrainConfig, large_config,
+                                      medium_config)
     from warehouse_tpu.train.ppo_rnn import make_train_rnn
     from warehouse_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     print("devices:", jax.devices(), file=sys.stderr)
 
-    env_cfg = medium_config()
+    env_cfg = (large_config if args.env == "large" else medium_config)()
     # Backends EXPLICIT so nothing silently resolves via "auto".
     base = TrainConfig(num_envs=args.num_envs, unroll_length=16,
                        rollout_backend="xla", grad_backend="xla")
