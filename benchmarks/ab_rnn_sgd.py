@@ -29,6 +29,7 @@ def main() -> None:
                    help="medium = BASELINE config 4; large = config 3 "
                         "stress geometry (15x15, 8 agents)")
     p.add_argument("--block", type=int, default=512)
+    p.add_argument("--arch", choices=["gru", "lstm"], default="gru")
     p.add_argument("--only", type=str, default="",
                    help="comma-separated variant subset")
     args = p.parse_args()
@@ -73,7 +74,7 @@ def main() -> None:
 
     runs = {}
     for name, tcfg in variants.items():
-        tr = make_train_rnn(env_cfg, tcfg, arch="gru")
+        tr = make_train_rnn(env_cfg, tcfg, arch=args.arch)
         rs = tr.init(jax.random.PRNGKey(0))
         t0 = time.perf_counter()
         rs, m = tr.train_many(rs, args.updates)

@@ -207,18 +207,21 @@ def test_rnn_kernel_matches_flax():
 
 
 @pytest.mark.slow
-def test_rnn_trainer_backend_equivalence():
+@pytest.mark.parametrize("arch", ["gru", "lstm"])
+def test_rnn_trainer_backend_equivalence(arch):
     """make_train_rnn(rollout_backend='pallas') vs 'xla' across an
-    episode boundary: same metrics, identical env states."""
+    episode boundary: same metrics, identical env states — for BOTH
+    recurrent cells (the LSTM acting variant is round 4: flax
+    OptimizedLSTMCell math in-kernel, (c, h) carry rows)."""
     from warehouse_tpu.train.ppo_rnn import make_train_rnn
 
     cfg = small_config().replace(max_steps=8)
     base = TrainConfig(num_envs=B, unroll_length=4, num_updates=2,
                        num_minibatches=2, hidden_dim=32)
-    trx = make_train_rnn(cfg, base)
+    trx = make_train_rnn(cfg, base, arch=arch)
     trp = make_train_rnn(
         cfg, base.replace(rollout_backend="pallas", pallas_block=B,
-                          pallas_interpret=True))
+                          pallas_interpret=True), arch=arch)
     rsx = trx.init(jax.random.PRNGKey(0))
     rsp = trp.init(jax.random.PRNGKey(0))
     for _ in range(2):

@@ -181,16 +181,18 @@ def test_gru_trainer_end_to_end_learns():
 
 
 @pytest.mark.slow
-def test_rnn_trainer_grad_backend_equivalence():
+@pytest.mark.parametrize("arch", ["gru", "lstm"])
+def test_rnn_trainer_grad_backend_equivalence(arch):
     """grad_backend='pallas' (fused sequence-replay kernel) vs 'xla',
     same seed, same XLA rollout: identical draw streams (same
     pre-rollout env permutation + mirrored key split) -> env states
-    BIT-equal, metrics/params to f32 tolerance."""
+    BIT-equal, metrics/params to f32 tolerance — for BOTH recurrent
+    cells (LSTM replay is round 4)."""
     import jax
 
-    trx = make_rnn_trainer(mask_actions=True, kl_coeff=0.1,
+    trx = make_rnn_trainer(arch, mask_actions=True, kl_coeff=0.1,
                            entropy_coef_final=0.001)
-    trp = make_rnn_trainer(mask_actions=True, kl_coeff=0.1,
+    trp = make_rnn_trainer(arch, mask_actions=True, kl_coeff=0.1,
                            entropy_coef_final=0.001,
                            grad_backend="pallas", pallas_interpret=True)
     rsx = trx.init(jax.random.PRNGKey(0))
@@ -236,9 +238,6 @@ def test_rnn_fused_act_and_sgd_train():
 def test_rnn_grad_backend_gate_raises():
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="rnn.*arch|arch.*GRU"):
-        make_rnn_trainer(arch="lstm", grad_backend="pallas",
-                         pallas_interpret=True)
     with _pytest.raises(ValueError, match="epoch_shuffle"):
         make_rnn_trainer(grad_backend="pallas", epoch_shuffle="each",
                          pallas_interpret=True)

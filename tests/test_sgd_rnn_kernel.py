@@ -43,11 +43,16 @@ TA = T * A
 mbB = B // M
 
 
-def _setup(mask_on: bool, n_enc: int = 1, seed: int = 0):
+def _setup(mask_on: bool, n_enc: int = 1, seed: int = 0,
+           cell: str = "gru"):
     rng = np.random.default_rng(seed)
     obs = jnp.asarray(rng.normal(size=(T, B, A, D)).astype(np.float32))
     h0 = jnp.asarray(
         (0.5 * rng.normal(size=(B, A, H))).astype(np.float32))
+    if cell == "lstm":
+        c0 = jnp.asarray(
+            (0.5 * rng.normal(size=(B, A, H))).astype(np.float32))
+        h0 = (c0, h0)
     action = jnp.asarray(
         rng.integers(0, 5, size=(T, B, A)).astype(np.int32))
     old_lp = jnp.asarray(
@@ -66,11 +71,13 @@ def _setup(mask_on: bool, n_enc: int = 1, seed: int = 0):
     # the kernel (which ignores done) must match exactly.
     done = jnp.zeros((T, B, A), bool).at[-1].set(True)
 
-    model = ActorCriticRNN(num_actions=5, cell_type="gru",
+    model = ActorCriticRNN(num_actions=5, cell_type=cell,
                            hidden_dims=(H,) * n_enc, rnn_hidden=H)
+    zcar = (jnp.zeros((1, H), jnp.float32) if cell == "gru"
+            else (jnp.zeros((1, H), jnp.float32),
+                  jnp.zeros((1, H), jnp.float32)))
     params = model.init(jax.random.PRNGKey(1),
-                        jnp.zeros((1, D), jnp.float32),
-                        jnp.zeros((1, H), jnp.float32))
+                        jnp.zeros((1, D), jnp.float32), zcar)
     sched = optax.linear_schedule(3e-4, 0.0, 100)
     tx = optax.chain(optax.clip_by_global_norm(MAXNORM),
                      optax.adam(sched, eps=1e-5))
@@ -94,7 +101,8 @@ def _seq_minibatches(data, h0):
     def split_h0(x):         # [B, ...] -> [M, B/M, ...]
         return x.reshape(M, mbB, *x.shape[1:])
 
-    return (jax.tree.map(split_seq, data), split_h0(h0))
+    return (jax.tree.map(split_seq, data),
+            jax.tree.map(split_h0, h0))
 
 
 def _kernel_inputs(data, h0):
@@ -113,7 +121,14 @@ def _kernel_inputs(data, h0):
     frows += [jnp.zeros((TA, B), jnp.float32)] * (
         FIELD_ROWS - len(frows))
     fields = jnp.stack(frows, axis=1).reshape(TA * FIELD_ROWS, B)
-    h0_rows = h0.transpose(1, 2, 0).reshape(A * H, B)
+
+    def crow(x):
+        return x.transpose(1, 2, 0).reshape(A * H, B)
+
+    if isinstance(h0, tuple):                 # LSTM: c rows, h rows
+        h0_rows = jnp.concatenate([crow(h0[0]), crow(h0[1])], axis=0)
+    else:
+        h0_rows = crow(h0)
     return obs_bm, fields, h0_rows
 
 
@@ -141,11 +156,14 @@ def _loss_fn_for(model, mask_on):
     return loss_fn
 
 
-@pytest.mark.parametrize("mask_on,n_enc",
-                         [(False, 1), (True, 1), (False, 2)])
-def test_rnn_sgd_phase_kernel_matches_xla_scaffold(mask_on, n_enc):
+@pytest.mark.parametrize("mask_on,n_enc,cell",
+                         [(False, 1, "gru"), (True, 1, "gru"),
+                          (False, 2, "gru"), (False, 1, "lstm"),
+                          (True, 2, "lstm")])
+def test_rnn_sgd_phase_kernel_matches_xla_scaffold(mask_on, n_enc,
+                                                   cell):
     (model, params, tx, sched, opt_state, data, h0) = _setup(
-        mask_on, n_enc)
+        mask_on, n_enc, cell=cell)
     mbs = _seq_minibatches(data, h0)
     loss_fn = _loss_fn_for(model, mask_on)
 
@@ -186,16 +204,19 @@ def test_rnn_sgd_phase_kernel_matches_xla_scaffold(mask_on, n_enc):
                                    rtol=1e-5, atol=1e-10)
 
 
-@pytest.mark.parametrize("mask_on", [False, True])
-def test_rnn_minibatch_grads_kernel_matches_jax_grad(mask_on):
+@pytest.mark.parametrize("mask_on,cell",
+                         [(False, "gru"), (True, "gru"),
+                          (True, "lstm")])
+def test_rnn_minibatch_grads_kernel_matches_jax_grad(mask_on, cell):
     (model, params, _tx, _sched, _opt, data, h0) = _setup(
-        mask_on, seed=3)
+        mask_on, seed=3, cell=cell)
     mbs = _seq_minibatches(data, h0)
     loss_fn = _loss_fn_for(model, mask_on)
     obs_bm, fields, h0_rows = _kernel_inputs(data, h0)
 
     for mb_idx in range(M):
-        mb = jax.tree.map(lambda x: x[mb_idx], mbs[0]), mbs[1][mb_idx]
+        mb = (jax.tree.map(lambda x: x[mb_idx], mbs[0]),
+              jax.tree.map(lambda x: x[mb_idx], mbs[1]))
         (l_ref, aux_ref), g_ref = jax.value_and_grad(
             loss_fn, has_aux=True)(params, mb)
         (l_k, aux_k), g_k = ppo_rnn_minibatch_grads_pallas(

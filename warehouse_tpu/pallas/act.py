@@ -454,31 +454,42 @@ def _sample_logprob(out, g):
 
 
 def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
-                    mask_act: bool, *refs):
-    """Recurrent act kernel: encoder MLP -> GRU cell -> heads, carry
-    rows [A*H, B] threaded through the T-step loop. The flax GRUCell
-    math exactly (models/policy.py ActorCriticRNN):
-    r = sig(Wir x + bir + Whr h); z = sig(Wiz x + biz + Whz h);
-    n = tanh(Win x + bin + r*(Whn h + bhn)); h' = (1-z)*n + z*h.
+                    mask_act: bool, cell: str, *refs):
+    """Recurrent act kernel: encoder MLP -> GRU/LSTM cell -> heads,
+    carry rows [A*H, B] (LSTM: c rows + h rows) threaded through the
+    T-step loop. The flax cell math exactly (models/policy.py
+    ActorCriticRNN):
+    GRU:  r = sig(Wir x + bir + Whr h); z = sig(Wiz x + biz + Whz h);
+          n = tanh(Win x + bin + r*(Whn h + bhn)); h' = (1-z)*n + z*h.
+    LSTM (OptimizedLSTMCell): gate = fn(Wi_ x + Wh_ h + bh_) for
+          i/f/o (sigmoid) and g (tanh); c' = f*c + i*g;
+          h' = o * tanh(c').
     Carry reset at episode boundaries happens OUTSIDE (the envelope
     gates truncation to the chunk's last step)."""
     A, R = cfg.num_agents, cfg.queue_capacity
     D = cfg.obs_dim
     Dp = _pad8(D)
+    lstm = cell == "lstm"
 
     it = iter(refs)
     pos_r, pos_c, areq, carr = next(it), next(it), next(it), next(it)
     rp_r, rp_c, rd_r, rd_c = next(it), next(it), next(it), next(it)
     rstat, ragent = next(it), next(it)
+    c_ref = next(it) if lstm else None                # [A*H, B]
     h_ref = next(it)                                  # [A*H, B]
     u_ref, pick_ref, drop_ref, g_ref = (next(it), next(it), next(it),
                                         next(it))
     enc = [(next(it), next(it)) for _ in range(n_enc)]
-    (wir, bir, whr, wiz, biz, whz, win, bin_, whn, bhn) = (
-        next(it) for _ in range(10))
+    if lstm:
+        (wii, whi, bhi, wif, whf, bhf, wig, whg, bhg,
+         wio, who, bho) = (next(it) for _ in range(12))
+    else:
+        (wir, bir, whr, wiz, biz, whz, win, bin_, whn, bhn) = (
+            next(it) for _ in range(10))
     wh_ref, bh_ref = next(it), next(it)
     (o_pos_r, o_pos_c, o_areq, o_carry, o_rp_r, o_rp_c, o_rd_r, o_rd_c,
      o_rstat, o_ragent) = (next(it) for _ in range(10))
+    o_c = next(it) if lstm else None
     o_h, o_obs, o_talp = next(it), next(it), next(it)
 
     def rows(ref, n):
@@ -493,12 +504,16 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
         rows(pos_r, A), rows(pos_c, A), rows(areq, A), rows(carr, A),
         rows(rp_r, R), rows(rp_c, R), rows(rd_r, R), rows(rd_c, R),
         rows(rstat, R), rows(ragent, R),
+        (tuple(c_ref[i * H:(i + 1) * H, :] for i in range(A))
+         if lstm else ()),
         tuple(h_ref[i * H:(i + 1) * H, :] for i in range(A)),
     )
 
     def step(t, s):
-        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag, hs) = s
+        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+         cs, hs) = s
         hs = list(hs)
+        cs = list(cs)
 
         u = u_ref[pl.ds(t, 1), :]
         spick = pick_ref[pl.ds(t, 1), :]
@@ -518,11 +533,24 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
             for w_ref, b_ref in enc:
                 e = jnp.tanh(dot(w_ref, e) + b_ref[...])
             h = hs[i]
-            r = jax.nn.sigmoid(dot(wir, e) + bir[...] + dot(whr, h))
-            zg = jax.nn.sigmoid(dot(wiz, e) + biz[...] + dot(whz, h))
-            n = jnp.tanh(dot(win, e) + bin_[...]
-                         + r * (dot(whn, h) + bhn[...]))
-            h = (1.0 - zg) * n + zg * h
+            if lstm:
+                c = cs[i]
+                ig = jax.nn.sigmoid(dot(wii, e) + dot(whi, h)
+                                    + bhi[...])
+                fg = jax.nn.sigmoid(dot(wif, e) + dot(whf, h)
+                                    + bhf[...])
+                gg = jnp.tanh(dot(wig, e) + dot(whg, h) + bhg[...])
+                og = jax.nn.sigmoid(dot(wio, e) + dot(who, h)
+                                    + bho[...])
+                c = fg * c + ig * gg
+                h = og * jnp.tanh(c)
+                cs[i] = c
+            else:
+                r = jax.nn.sigmoid(dot(wir, e) + bir[...] + dot(whr, h))
+                zg = jax.nn.sigmoid(dot(wiz, e) + biz[...] + dot(whz, h))
+                n = jnp.tanh(dot(win, e) + bin_[...]
+                             + r * (dot(whn, h) + bhn[...]))
+                h = (1.0 - zg) * n + zg * h
             hs[i] = h
 
             out = dot(wh_ref, h) + bh_ref[...]        # [8, B]
@@ -562,10 +590,11 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
                 delivered[i].astype(jnp.float32))
 
         return (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
-                tuple(hs))
+                tuple(cs), tuple(hs))
 
     out = jax.lax.fori_loop(0, T, step, state0)
-    (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag, hs) = out
+    (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag, cs,
+     hs) = out
     o_pos_r[:] = jnp.concatenate(p_r, axis=0)
     o_pos_c[:] = jnp.concatenate(p_c, axis=0)
     o_areq[:] = jnp.concatenate(aq, axis=0)
@@ -576,7 +605,45 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
     o_rd_c[:] = jnp.concatenate(q_dc, axis=0)
     o_rstat[:] = jnp.concatenate(q_st, axis=0)
     o_ragent[:] = jnp.concatenate(q_ag, axis=0)
+    if lstm:
+        o_c[:] = jnp.concatenate(cs, axis=0)
     o_h[:] = jnp.concatenate(hs, axis=0)
+
+
+def extract_lstm_weights(params):
+    """(enc (w,b) list, lstm mats tuple, heads (wh, bh)) from
+    ActorCriticRNN(lstm) params, pre-transposed [out, in]. Mat order:
+    (wii, whi, bhi, wif, whf, bhf, wig, whg, bhg, wio, who, bho) —
+    input-side kernels have no bias (flax OptimizedLSTMCell)."""
+    dense = params["params"]
+    enc_names = sorted(
+        (n for n in dense if n.startswith("Dense_")),
+        key=lambda s: int(s.split("_")[1]))
+    cell = dense["OptimizedLSTMCell_0"]
+    *enc_n, logit_n, value_n = enc_names
+    enc = [(jnp.transpose(dense[n]["kernel"]).astype(jnp.float32),
+            dense[n]["bias"].astype(jnp.float32)[:, None])
+           for n in enc_n]
+
+    def tw(sub):
+        return jnp.transpose(cell[sub]["kernel"]).astype(jnp.float32)
+
+    def tb(sub):
+        return cell[sub]["bias"].astype(jnp.float32)[:, None]
+
+    mats = (tw("ii"), tw("hi"), tb("hi"), tw("if"), tw("hf"), tb("hf"),
+            tw("ig"), tw("hg"), tb("hg"), tw("io"), tw("ho"), tb("ho"))
+    wl = jnp.transpose(dense[logit_n]["kernel"]).astype(jnp.float32)
+    bl = dense[logit_n]["bias"].astype(jnp.float32)[:, None]
+    wv = jnp.transpose(dense[value_n]["kernel"]).astype(jnp.float32)
+    bv = dense[value_n]["bias"].astype(jnp.float32)[:, None]
+    wh = jnp.concatenate([wl, wv], axis=0)
+    bh = jnp.concatenate([bl, bv], axis=0)
+    pad = _pad8(wh.shape[0]) - wh.shape[0]
+    if pad:
+        wh = jnp.pad(wh, ((0, pad), (0, 0)))
+        bh = jnp.pad(bh, ((0, pad), (0, 0)))
+    return enc, mats, (wh, bh)
 
 
 def extract_rnn_weights(params):
@@ -615,14 +682,16 @@ def extract_rnn_weights(params):
     return enc, gmats, (wh, bh)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 4, 6, 7, 8, 9))
 def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
                            carry, T: int, key: jax.Array,
                            block: int = 512, interpret: bool = False,
-                           mask_actions: bool = False):
-    """Recurrent (GRU) trained rollout via the fused kernel.
+                           mask_actions: bool = False,
+                           cell: str = "gru"):
+    """Recurrent (GRU/LSTM) trained rollout via the fused kernel.
 
-    ``carry``: float32[B, A, H] GRU hidden state. Returns
+    ``carry``: float32[B, A, H] GRU hidden state, or the flax LSTM
+    ``(c, h)`` tuple of two such arrays (``cell="lstm"``). Returns
     ``(new EnvState, ActRollout, reset_key_last, next_key, new_carry)``
     with ``new_carry`` NOT reset at boundaries — the caller zeroes it
     where the chunk truncated (matching the per-step semantics, since
@@ -637,9 +706,17 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
         raise ValueError(f"batch {B} must divide into block {block}")
     A, R, D = cfg.num_agents, cfg.queue_capacity, cfg.obs_dim
     Dp = _pad8(D)
-    H = carry.shape[-1]
+    lstm = cell == "lstm"
+    if lstm:
+        c_carry, h_carry = carry
+    else:
+        h_carry = carry
+    H = h_carry.shape[-1]
 
-    enc, gmats, (wh, bh) = extract_rnn_weights(params)
+    if lstm:
+        enc, gmats, (wh, bh) = extract_lstm_weights(params)
+    else:
+        enc, gmats, (wh, bh) = extract_rnn_weights(params)
     n_enc = len(enc)
 
     # Batched draw precompute: bit-identical stream, the T*B draws in
@@ -655,8 +732,9 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
     def bm(x):
         return jnp.transpose(x).astype(jnp.int32)
 
-    h_rows = carry.astype(jnp.float32).transpose(1, 2, 0).reshape(
-        A * H, B)
+    def crows(x):   # [B, A, H] -> [A*H, B] f32
+        return x.astype(jnp.float32).transpose(1, 2, 0).reshape(
+            A * H, B)
 
     ins = [
         bm(state.agent_pos[:, :, 0]), bm(state.agent_pos[:, :, 1]),
@@ -664,10 +742,14 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
         bm(state.req_pickup[:, :, 0]), bm(state.req_pickup[:, :, 1]),
         bm(state.req_drop[:, :, 0]), bm(state.req_drop[:, :, 1]),
         bm(state.req_status), bm(state.req_agent),
-        h_rows,
+    ]
+    if lstm:
+        ins.append(crows(c_carry))
+    ins.extend([
+        crows(h_carry),
         u.astype(jnp.float32), pick.astype(jnp.int32),
         drop.astype(jnp.int32), g,
-    ]
+    ])
     for w, b in enc:
         ins.extend([w, b])
     ins.extend(gmats)
@@ -684,9 +766,13 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
     in_specs = [
         bspec(A), bspec(A), bspec(A), bspec(A),
         bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
+    ]
+    if lstm:
+        in_specs.append(bspec(A * H))
+    in_specs.extend([
         bspec(A * H),
         bspec(T), bspec(T), bspec(T), bspec(T * A * 8),
-    ]
+    ])
     for w, b in enc:
         in_specs.extend([wspec(w.shape), wspec(b.shape)])
     for m in gmats:
@@ -696,24 +782,28 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
     out_specs = [
         bspec(A), bspec(A), bspec(A), bspec(A),
         bspec(R), bspec(R), bspec(R), bspec(R), bspec(R), bspec(R),
-        bspec(A * H), bspec(T * A * Dp), bspec(T * A * 16),
     ]
+    if lstm:
+        out_specs.append(bspec(A * H))
+    out_specs.extend([bspec(A * H), bspec(T * A * Dp),
+                      bspec(T * A * 16)])
     out_shape = [
         jax.ShapeDtypeStruct((A, B), jnp.int32) for _ in range(4)
     ] + [
         jax.ShapeDtypeStruct((R, B), jnp.int32) for _ in range(6)
-    ] + [
+    ] + ([jax.ShapeDtypeStruct((A * H, B), jnp.float32)]
+         if lstm else []) + [
         jax.ShapeDtypeStruct((A * H, B), jnp.float32),
         jax.ShapeDtypeStruct((T * A * Dp, B), jnp.float32),
         jax.ShapeDtypeStruct((T * A * 16, B), jnp.float32),
     ]
 
     vmem_bytes = 4 * block * 2 * (
-        T * A * Dp + T * A * 16 + 10 * (A + R) + 2 * A * H
+        T * A * Dp + T * A * 16 + 10 * (A + R) + 4 * A * H
         + T * (3 + A * 8)
     ) + 12 * 1024 * 1024
     outs = pl.pallas_call(
-        partial(_act_rnn_kernel, cfg, T, n_enc, H, mask_actions),
+        partial(_act_rnn_kernel, cfg, T, n_enc, H, mask_actions, cell),
         grid=(B // block,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -724,8 +814,12 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
         ),
     )(*ins)
 
-    (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
-     h_out, obs_rows, talp) = outs
+    if lstm:
+        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+         c_out, h_out, obs_rows, talp) = outs
+    else:
+        (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+         h_out, obs_rows, talp) = outs
 
     def mb(x):
         return jnp.transpose(x)
@@ -741,7 +835,11 @@ def ppo_rnn_rollout_pallas(cfg: EnvConfig, params, state: EnvState,
         t=state.t + T,
         key=final_keys,
     )
-    new_carry = h_out.reshape(A, H, B).transpose(2, 0, 1)  # [B, A, H]
+    def uncrow(x):  # [A*H, B] -> [B, A, H]
+        return x.reshape(A, H, B).transpose(2, 0, 1)
+
+    new_carry = ((uncrow(c_out), uncrow(h_out)) if lstm
+                 else uncrow(h_out))
 
     obs = obs_rows.reshape(T, A, Dp, B)[:, :, :D, :]
     obs = obs.transpose(0, 3, 1, 2)

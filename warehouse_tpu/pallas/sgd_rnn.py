@@ -60,7 +60,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .act import _pad8, extract_rnn_weights
+from .act import _pad8, extract_lstm_weights, extract_rnn_weights
 from .sgd import (
     FIELD_ROWS,
     _clip_adam_step,
@@ -75,28 +75,38 @@ HEAD_ROWS = 8  # fused logits+value head rows, padded (extract_rnn_weights)
 def _seq_fwd_bwd(n_enc, D, n_act, H, A, T, blkB, clip_eps, value_coef,
                  mask_act, ent_coef, kl_coeff, inv_n, mm_dtype,
                  obs_ref, f_ref, h0_ref, p_list, g_accum, macc_add,
-                 h_scr, dout_scr):
+                 h_scr, dout_scr, cell="gru"):
     """One env-block's full-sequence forward + BPTT backward.
 
     ``p_list``: CURRENT param values (jnp arrays, kernel tensor order
     ``_flat_rnn_tensors``). ``g_accum(k, g)`` adds ``g`` into grad
     accumulator ``k``; ``macc_add(r, row)`` adds a [1, blkB] row into
-    metric accumulator row ``r``. ``h_scr [(T+1)*H, A*blkB]`` and
-    ``dout_scr [T*HEAD_ROWS, A*blkB]`` are VMEM scratch.
+    metric accumulator row ``r``. ``h_scr`` is VMEM scratch of
+    ``[(T+1)*H, A*blkB]`` rows (GRU) or ``[2*(T+1)*H, ...]`` (LSTM:
+    h slots first, then c slots); ``dout_scr [T*HEAD_ROWS, A*blkB]``.
+    ``h0_ref``: ``[A*H, blkB]`` (GRU) or ``[2*A*H, blkB]`` (LSTM:
+    c rows then h rows, matching the act kernel's carry layout).
 
     Grads are d(mean minibatch loss)/dW restricted to this block
     (summing blocks gives the exact minibatch gradient). The math is
     the hand-derived adjoint of the flax ActorCriticRNN step
-    (models/policy.py: tanh encoder -> nn.GRUCell -> linear heads),
-    with ``jax.grad``-matching conventions via ``_loss_and_dout``.
+    (models/policy.py: tanh encoder -> nn.GRUCell /
+    nn.OptimizedLSTMCell -> linear heads), with ``jax.grad``-matching
+    conventions via ``_loss_and_dout``.
     """
     Dp = _pad8(D)
     N = A * blkB
+    lstm = cell == "lstm"
+    c_off = (T + 1) * H                 # c slots start here (LSTM)
 
     enc_w = [(p_list[2 * li], p_list[2 * li + 1]) for li in range(n_enc)]
     base = 2 * n_enc
-    (wir, bir, whr, wiz, biz, whz, win, bin_, whn, bhn) = p_list[
-        base:base + 10]
+    if lstm:
+        (wii, whi, bhi, wif, whf, bhf, wig, whg, bhg,
+         wio, who, bho) = p_list[base:base + 12]
+    else:
+        (wir, bir, whr, wiz, biz, whz, win, bin_, whn, bhn) = p_list[
+            base:base + 10]
     wh, bh = p_list[-2], p_list[-1]
 
     def dot(a, b, dims):
@@ -129,17 +139,18 @@ def _seq_fwd_bwd(n_enc, D, n_act, H, A, T, blkB, clip_eps, value_coef,
         n_ = jnp.tanh(dot(win, e, WX) + bin_[...] + r * q)
         return r, z, q, n_
 
-    # ---------------- forward: store h_t and d_out_t ------------------
-    h0_cols = jnp.concatenate(
-        [h0_ref[pl.ds(i * H, H), :] for i in range(A)], axis=1)
-    h_scr[pl.ds(0, H), :] = h0_cols
+    def lstm_gates(e, h_prev):
+        ig = jax.nn.sigmoid(dot(wii, e, WX) + dot(whi, h_prev, WX)
+                            + bhi[...])
+        fg = jax.nn.sigmoid(dot(wif, e, WX) + dot(whf, h_prev, WX)
+                            + bhf[...])
+        gg = jnp.tanh(dot(wig, e, WX) + dot(whg, h_prev, WX)
+                      + bhg[...])
+        og = jax.nn.sigmoid(dot(wio, e, WX) + dot(who, h_prev, WX)
+                            + bho[...])
+        return ig, fg, gg, og
 
-    def fwd_step(t, h):
-        x = cols(obs_ref, t, Dp)
-        e = enc_forward(x)[-1]
-        r, z, q, n_ = gates(e, h)
-        h_new = (1.0 - z) * n_ + z * h
-        h_scr[pl.ds((t + 1) * H, H), :] = h_new
+    def head_and_loss(t, h_new):
         out = dot(wh, h_new, WX) + bh[...]            # [HEAD_ROWS, N]
         f = cols(f_ref, t, FIELD_ROWS)
         d_out, rows = _loss_and_dout(
@@ -151,57 +162,47 @@ def _seq_fwd_bwd(n_enc, D, n_act, H, A, T, blkB, clip_eps, value_coef,
             for i in range(1, A):
                 acc = acc + row[:, i * blkB:(i + 1) * blkB]
             macc_add(ridx, acc)
-        return h_new
 
-    jax.lax.fori_loop(0, T, fwd_step, h0_cols)
+    # ---------------- forward: store carries and d_out_t --------------
+    h0_cols = jnp.concatenate(
+        [h0_ref[pl.ds((A if lstm else 0) * H + i * H, H), :]
+         for i in range(A)], axis=1)
+    h_scr[pl.ds(0, H), :] = h0_cols
+    if lstm:
+        c0_cols = jnp.concatenate(
+            [h0_ref[pl.ds(i * H, H), :] for i in range(A)], axis=1)
+        h_scr[pl.ds(c_off, H), :] = c0_cols
+
+    if lstm:
+        def fwd_step(t, carry):
+            c, h = carry
+            x = cols(obs_ref, t, Dp)
+            e = enc_forward(x)[-1]
+            ig, fg, gg, og = lstm_gates(e, h)
+            c_new = fg * c + ig * gg
+            h_new = og * jnp.tanh(c_new)
+            h_scr[pl.ds((t + 1) * H, H), :] = h_new
+            h_scr[pl.ds(c_off + (t + 1) * H, H), :] = c_new
+            head_and_loss(t, h_new)
+            return (c_new, h_new)
+
+        jax.lax.fori_loop(0, T, fwd_step, (c0_cols, h0_cols))
+    else:
+        def fwd_step(t, h):
+            x = cols(obs_ref, t, Dp)
+            e = enc_forward(x)[-1]
+            r, z, q, n_ = gates(e, h)
+            h_new = (1.0 - z) * n_ + z * h
+            h_scr[pl.ds((t + 1) * H, H), :] = h_new
+            head_and_loss(t, h_new)
+            return h_new
+
+        jax.lax.fori_loop(0, T, fwd_step, h0_cols)
 
     # ---------------- backward: recompute gates, accumulate grads ----
     gbase = base
 
-    def bwd_step(i, dh_carry):
-        t = T - 1 - i
-        d_out = dout_scr[pl.ds(t * HEAD_ROWS, HEAD_ROWS), :]
-        h_cur = h_scr[pl.ds((t + 1) * H, H), :]
-        h_prev = h_scr[pl.ds(t * H, H), :]
-
-        g_accum(len(p_list) - 2, dot(d_out, h_cur, DYX))
-        g_accum(len(p_list) - 1,
-                jnp.sum(d_out, axis=1, keepdims=True))
-        dh = dot(wh, d_out, WTDY) + dh_carry
-
-        x = cols(obs_ref, t, Dp)
-        es = enc_forward(x)
-        e = es[-1]
-        r, z, q, n_ = gates(e, h_prev)
-
-        dz = dh * (h_prev - n_)
-        dn = dh * (1.0 - z)
-        dh_prev = dh * z
-
-        dpn = dn * (1.0 - n_ * n_)
-        g_accum(gbase + 6, dot(dpn, e, DYX))              # win
-        g_accum(gbase + 7, jnp.sum(dpn, axis=1, keepdims=True))
-        de = dot(win, dpn, WTDY)
-        dq = dpn * r
-        g_accum(gbase + 8, dot(dq, h_prev, DYX))          # whn
-        g_accum(gbase + 9, jnp.sum(dq, axis=1, keepdims=True))
-        dh_prev = dh_prev + dot(whn, dq, WTDY)
-
-        dr = dpn * q
-        dpr = dr * r * (1.0 - r)
-        g_accum(gbase + 0, dot(dpr, e, DYX))              # wir
-        g_accum(gbase + 1, jnp.sum(dpr, axis=1, keepdims=True))
-        de = de + dot(wir, dpr, WTDY)
-        g_accum(gbase + 2, dot(dpr, h_prev, DYX))         # whr
-        dh_prev = dh_prev + dot(whr, dpr, WTDY)
-
-        dpz = dz * z * (1.0 - z)
-        g_accum(gbase + 3, dot(dpz, e, DYX))              # wiz
-        g_accum(gbase + 4, jnp.sum(dpz, axis=1, keepdims=True))
-        de = de + dot(wiz, dpz, WTDY)
-        g_accum(gbase + 5, dot(dpz, h_prev, DYX))         # whz
-        dh_prev = dh_prev + dot(whz, dpz, WTDY)
-
+    def enc_backward(de, es):
         d_cur = de
         for li in range(n_enc - 1, -1, -1):
             a_out = es[li + 1]
@@ -210,16 +211,111 @@ def _seq_fwd_bwd(n_enc, D, n_act, H, A, T, blkB, clip_eps, value_coef,
             g_accum(2 * li + 1, jnp.sum(dz_e, axis=1, keepdims=True))
             if li > 0:
                 d_cur = dot(enc_w[li][0], dz_e, WTDY)
-        return dh_prev
 
-    jax.lax.fori_loop(0, T, bwd_step, jnp.zeros((H, N), jnp.float32))
+    def head_backward(t):
+        """dwh/dbh from stored d_out; returns (d_out's dh, h_prev)."""
+        d_out = dout_scr[pl.ds(t * HEAD_ROWS, HEAD_ROWS), :]
+        h_cur = h_scr[pl.ds((t + 1) * H, H), :]
+        h_prev = h_scr[pl.ds(t * H, H), :]
+        g_accum(len(p_list) - 2, dot(d_out, h_cur, DYX))
+        g_accum(len(p_list) - 1,
+                jnp.sum(d_out, axis=1, keepdims=True))
+        return dot(wh, d_out, WTDY), h_prev
+
+    if lstm:
+        def bwd_step(i, carry):
+            dh_carry, dc_carry = carry
+            t = T - 1 - i
+            dh0, h_prev = head_backward(t)
+            dh = dh0 + dh_carry
+            c_cur = h_scr[pl.ds(c_off + (t + 1) * H, H), :]
+            c_prev = h_scr[pl.ds(c_off + t * H, H), :]
+
+            x = cols(obs_ref, t, Dp)
+            es = enc_forward(x)
+            e = es[-1]
+            ig, fg, gg, og = lstm_gates(e, h_prev)
+            tc = jnp.tanh(c_cur)
+
+            do = dh * tc
+            dc = dc_carry + dh * og * (1.0 - tc * tc)
+            df = dc * c_prev
+            di = dc * gg
+            dg = dc * ig
+            dc_prev = dc * fg
+
+            dh_prev = jnp.zeros_like(dh)
+            de = jnp.zeros_like(e)
+            for dp, wi, wh_, boff in (
+                (di * ig * (1.0 - ig), wii, whi, 0),
+                (df * fg * (1.0 - fg), wif, whf, 3),
+                (dg * (1.0 - gg * gg), wig, whg, 6),
+                (do * og * (1.0 - og), wio, who, 9),
+            ):
+                g_accum(gbase + boff + 0, dot(dp, e, DYX))
+                g_accum(gbase + boff + 1, dot(dp, h_prev, DYX))
+                g_accum(gbase + boff + 2,
+                        jnp.sum(dp, axis=1, keepdims=True))
+                de = de + dot(wi, dp, WTDY)
+                dh_prev = dh_prev + dot(wh_, dp, WTDY)
+            enc_backward(de, es)
+            return (dh_prev, dc_prev)
+
+        jax.lax.fori_loop(0, T, bwd_step,
+                          (jnp.zeros((H, N), jnp.float32),
+                           jnp.zeros((H, N), jnp.float32)))
+    else:
+        def bwd_step(i, dh_carry):
+            t = T - 1 - i
+            dh0, h_prev = head_backward(t)
+            dh = dh0 + dh_carry
+
+            x = cols(obs_ref, t, Dp)
+            es = enc_forward(x)
+            e = es[-1]
+            r, z, q, n_ = gates(e, h_prev)
+
+            dz = dh * (h_prev - n_)
+            dn = dh * (1.0 - z)
+            dh_prev = dh * z
+
+            dpn = dn * (1.0 - n_ * n_)
+            g_accum(gbase + 6, dot(dpn, e, DYX))              # win
+            g_accum(gbase + 7, jnp.sum(dpn, axis=1, keepdims=True))
+            de = dot(win, dpn, WTDY)
+            dq = dpn * r
+            g_accum(gbase + 8, dot(dq, h_prev, DYX))          # whn
+            g_accum(gbase + 9, jnp.sum(dq, axis=1, keepdims=True))
+            dh_prev = dh_prev + dot(whn, dq, WTDY)
+
+            dr = dpn * q
+            dpr = dr * r * (1.0 - r)
+            g_accum(gbase + 0, dot(dpr, e, DYX))              # wir
+            g_accum(gbase + 1, jnp.sum(dpr, axis=1, keepdims=True))
+            de = de + dot(wir, dpr, WTDY)
+            g_accum(gbase + 2, dot(dpr, h_prev, DYX))         # whr
+            dh_prev = dh_prev + dot(whr, dpr, WTDY)
+
+            dpz = dz * z * (1.0 - z)
+            g_accum(gbase + 3, dot(dpz, e, DYX))              # wiz
+            g_accum(gbase + 4, jnp.sum(dpz, axis=1, keepdims=True))
+            de = de + dot(wiz, dpz, WTDY)
+            g_accum(gbase + 5, dot(dpz, h_prev, DYX))         # whz
+            dh_prev = dh_prev + dot(whz, dpz, WTDY)
+
+            enc_backward(de, es)
+            return dh_prev
+
+        jax.lax.fori_loop(0, T, bwd_step,
+                          jnp.zeros((H, N), jnp.float32))
 
 
 def _sgd_rnn_kernel(n_enc: int, D: int, n_act: int, H: int, A: int,
                     T: int, nbe: int, n_steps: int, mb_n: int,
                     blkB: int, clip_eps: float, value_coef: float,
                     max_grad_norm: float, b1: float, b2: float,
-                    eps: float, mask_act: bool, mm_dtype, *refs):
+                    eps: float, mask_act: bool, mm_dtype, cell: str,
+                    *refs):
     """Fused-phase kernel body; grid = (n_steps, nbe).
 
     refs: scal_steps SMEM [n_steps, 4] (lr, 1-b1^t, 1-b2^t, 0),
@@ -230,7 +326,7 @@ def _sgd_rnn_kernel(n_enc: int, D: int, n_act: int, H: int, A: int,
     scratch: p/m/v/g working copies + macc [8, blkB]
     + h_scr [(T+1)*H, A*blkB] + dout_scr [T*8, A*blkB].
     """
-    n_t = 2 * n_enc + 12
+    n_t = 2 * n_enc + (14 if cell == "lstm" else 12)
     it = iter(refs)
     scal_steps = next(it)
     scal_glob = next(it)
@@ -277,7 +373,8 @@ def _sgd_rnn_kernel(n_enc: int, D: int, n_act: int, H: int, A: int,
         n_enc, D, n_act, H, A, T, blkB, clip_eps, value_coef, mask_act,
         scal_glob[0, 0], scal_glob[0, 1], jnp.float32(1.0 / mb_n),
         mm_dtype, obs_ref, f_ref, h0_ref,
-        [p[...] for p in p_scr], g_accum, macc_add, h_scr, dout_scr)
+        [p[...] for p in p_scr], g_accum, macc_add, h_scr, dout_scr,
+        cell)
 
     @pl.when(j == nbe - 1)
     def _opt_step():
@@ -296,13 +393,13 @@ def _sgd_rnn_kernel(n_enc: int, D: int, n_act: int, H: int, A: int,
 def _grads_rnn_kernel(n_enc: int, D: int, n_act: int, H: int, A: int,
                       T: int, nbe: int, mb_n: int, blkB: int,
                       clip_eps: float, value_coef: float,
-                      mask_act: bool, mm_dtype, *refs):
+                      mask_act: bool, mm_dtype, cell: str, *refs):
     """Single-minibatch grads kernel body; grid = (nbe,).
 
     Multi-device variant: grads leave the kernel so XLA can ``pmean``
     them across data shards before the optimizer step.
     """
-    n_t = 2 * n_enc + 12
+    n_t = 2 * n_enc + (14 if cell == "lstm" else 12)
     it = iter(refs)
     scal_glob = next(it)
     obs_ref = next(it)
@@ -332,7 +429,8 @@ def _grads_rnn_kernel(n_enc: int, D: int, n_act: int, H: int, A: int,
         n_enc, D, n_act, H, A, T, blkB, clip_eps, value_coef, mask_act,
         scal_glob[0, 0], scal_glob[0, 1], jnp.float32(1.0 / mb_n),
         mm_dtype, obs_ref, f_ref, h0_ref,
-        [p[...] for p in p_in], g_accum, macc_add, h_scr, dout_scr)
+        [p[...] for p in p_in], g_accum, macc_add, h_scr, dout_scr,
+        cell)
 
 
 # --------------------------------------------------------------------
@@ -340,11 +438,15 @@ def _grads_rnn_kernel(n_enc: int, D: int, n_act: int, H: int, A: int,
 # --------------------------------------------------------------------
 
 def _flat_rnn_tensors(tree):
-    """ActorCriticRNN(gru) params-structured pytree -> kernel tensor
-    list [enc_w0, enc_b0, ..., wir, bir, whr, wiz, biz, whz, win, bin,
-    whn, bhn, wh, bh] with kernels pre-transposed [out, in] and the
-    logits/value heads fused+padded (extract_rnn_weights)."""
-    enc, gmats, (wh, bh) = extract_rnn_weights(tree)
+    """ActorCriticRNN params-structured pytree -> kernel tensor list
+    [enc pairs..., cell mats..., wh, bh] with kernels pre-transposed
+    [out, in] and the logits/value heads fused+padded. GRU mats:
+    (wir, bir, whr, wiz, biz, whz, win, bin, whn, bhn); LSTM
+    (auto-detected from the tree): extract_lstm_weights order."""
+    if "OptimizedLSTMCell_0" in tree["params"]:
+        enc, gmats, (wh, bh) = extract_lstm_weights(tree)
+    else:
+        enc, gmats, (wh, bh) = extract_rnn_weights(tree)
     out = []
     for w, b in enc:
         out.extend([w, b])
@@ -372,16 +474,30 @@ def _unflat_rnn_tensors(tensors, template):
         tree["params"][name] = {"kernel": jnp.transpose(w),
                                 "bias": b[:, 0]}
     base = 2 * n_enc
-    (wir, bir, whr, wiz, biz, whz, win, bin_, whn, bhn) = tensors[
-        base:base + 10]
-    tree["params"]["GRUCell_0"] = {
-        "ir": {"kernel": jnp.transpose(wir), "bias": bir[:, 0]},
-        "hr": {"kernel": jnp.transpose(whr)},
-        "iz": {"kernel": jnp.transpose(wiz), "bias": biz[:, 0]},
-        "hz": {"kernel": jnp.transpose(whz)},
-        "in": {"kernel": jnp.transpose(win), "bias": bin_[:, 0]},
-        "hn": {"kernel": jnp.transpose(whn), "bias": bhn[:, 0]},
-    }
+    if "OptimizedLSTMCell_0" in dense:
+        (wii, whi, bhi, wif, whf, bhf, wig, whg, bhg,
+         wio, who, bho) = tensors[base:base + 12]
+        tree["params"]["OptimizedLSTMCell_0"] = {
+            "ii": {"kernel": jnp.transpose(wii)},
+            "hi": {"kernel": jnp.transpose(whi), "bias": bhi[:, 0]},
+            "if": {"kernel": jnp.transpose(wif)},
+            "hf": {"kernel": jnp.transpose(whf), "bias": bhf[:, 0]},
+            "ig": {"kernel": jnp.transpose(wig)},
+            "hg": {"kernel": jnp.transpose(whg), "bias": bhg[:, 0]},
+            "io": {"kernel": jnp.transpose(wio)},
+            "ho": {"kernel": jnp.transpose(who), "bias": bho[:, 0]},
+        }
+    else:
+        (wir, bir, whr, wiz, biz, whz, win, bin_, whn, bhn) = tensors[
+            base:base + 10]
+        tree["params"]["GRUCell_0"] = {
+            "ir": {"kernel": jnp.transpose(wir), "bias": bir[:, 0]},
+            "hr": {"kernel": jnp.transpose(whr)},
+            "iz": {"kernel": jnp.transpose(wiz), "bias": biz[:, 0]},
+            "hz": {"kernel": jnp.transpose(whz)},
+            "in": {"kernel": jnp.transpose(win), "bias": bin_[:, 0]},
+            "hn": {"kernel": jnp.transpose(whn), "bias": bhn[:, 0]},
+        }
     wh, bh = tensors[-2], tensors[-1]
     tree["params"][logit_n] = {
         "kernel": jnp.transpose(wh[:n_act, :]), "bias": bh[:n_act, 0]}
@@ -432,8 +548,13 @@ def _rnn_dims(params, obs_bm, obs_dim):
         key=lambda s: int(s.split("_")[1]))
     n_enc = len(enc_names) - 2
     n_act = dense[enc_names[-2]]["kernel"].shape[1]
-    H = dense["GRUCell_0"]["hr"]["kernel"].shape[0]
-    return B, Dp, n_enc, n_act, H
+    if "OptimizedLSTMCell_0" in dense:
+        cell = "lstm"
+        H = dense["OptimizedLSTMCell_0"]["hi"]["kernel"].shape[0]
+    else:
+        cell = "gru"
+        H = dense["GRUCell_0"]["hr"]["kernel"].shape[0]
+    return B, Dp, n_enc, n_act, H, cell
 
 
 def ppo_rnn_sgd_phase_pallas(
@@ -459,14 +580,15 @@ def ppo_rnn_sgd_phase_pallas(
     ``minibatch_epochs`` tuple of ``[num_epochs, M]`` arrays.
     """
     T, A = unroll_length, num_agents
-    B, Dp, n_enc, n_act, H = _rnn_dims(params, obs_bm, obs_dim)
+    B, Dp, n_enc, n_act, H, cell = _rnn_dims(params, obs_bm, obs_dim)
+    ncar = 2 if cell == "lstm" else 1
     M = num_minibatches
     n_steps = num_epochs * M
     if B % M:
         raise ValueError(f"B={B} not divisible by {M} minibatches")
     mbB = B // M
     blkB = _resolve_blk(mbB, B, block_envs, interpret,
-                        _bytes_per_col(T, A, Dp, H))
+                        _bytes_per_col(T, A, Dp, H * ncar))
     nbe = mbB // blkB
     mb_n = mbB * T * A
 
@@ -499,7 +621,7 @@ def ppo_rnn_sgd_phase_pallas(
         [pl.BlockSpec(memory_space=pltpu.SMEM),
          pl.BlockSpec(memory_space=pltpu.SMEM),
          colspec(T * A * Dp), colspec(T * A * FIELD_ROWS),
-         colspec(A * H)]
+         colspec(ncar * A * H)]
         + [wspec(t.shape) for t in p_list] * 3
     )
     out_specs = (
@@ -513,7 +635,7 @@ def ppo_rnn_sgd_phase_pallas(
     scratch = (
         [pltpu.VMEM(t.shape, jnp.float32) for t in p_list * 4]
         + [pltpu.VMEM((8, blkB), jnp.float32),
-           pltpu.VMEM(((T + 1) * H, A * blkB), jnp.float32),
+           pltpu.VMEM((ncar * (T + 1) * H, A * blkB), jnp.float32),
            pltpu.VMEM((T * HEAD_ROWS, A * blkB), jnp.float32)]
     )
 
@@ -521,7 +643,7 @@ def ppo_rnn_sgd_phase_pallas(
         partial(_sgd_rnn_kernel, n_enc, obs_dim, n_act, H, A, T, nbe,
                 n_steps, mb_n, blkB, clip_eps, value_coef,
                 max_grad_norm, b1, b2, eps, mask_actions,
-                jnp.dtype(matmul_dtype)),
+                jnp.dtype(matmul_dtype), cell),
         grid=(n_steps, nbe),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -562,13 +684,14 @@ def ppo_rnn_minibatch_grads_pallas(
     ``((total, (pg, v, ent, kl)), grads_pytree)``.
     """
     T, A = unroll_length, num_agents
-    B, Dp, n_enc, n_act, H = _rnn_dims(params, obs_bm, obs_dim)
+    B, Dp, n_enc, n_act, H, cell = _rnn_dims(params, obs_bm, obs_dim)
+    ncar = 2 if cell == "lstm" else 1
     M = num_minibatches
     if B % M:
         raise ValueError(f"B={B} not divisible by {M} minibatches")
     mbB = B // M
     blkB = _resolve_blk(mbB, B, block_envs, interpret,
-                        _bytes_per_col(T, A, Dp, H))
+                        _bytes_per_col(T, A, Dp, H * ncar))
     nbe = mbB // blkB
     mb_n = mbB * T * A
 
@@ -594,19 +717,19 @@ def ppo_rnn_minibatch_grads_pallas(
 
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM),
                  colspec(T * A * Dp), colspec(T * A * FIELD_ROWS),
-                 colspec(A * H)]
+                 colspec(ncar * A * H)]
                 + [wspec(t.shape) for t in p_list])
     out_specs = [wspec(t.shape) for t in p_list] + [met_spec]
     out_shape = ([jax.ShapeDtypeStruct(t.shape, jnp.float32)
                   for t in p_list]
                  + [jax.ShapeDtypeStruct((8, blkB), jnp.float32)])
-    scratch = [pltpu.VMEM(((T + 1) * H, A * blkB), jnp.float32),
+    scratch = [pltpu.VMEM((ncar * (T + 1) * H, A * blkB), jnp.float32),
                pltpu.VMEM((T * HEAD_ROWS, A * blkB), jnp.float32)]
 
     outs = pl.pallas_call(
         partial(_grads_rnn_kernel, n_enc, obs_dim, n_act, H, A, T, nbe,
                 mb_n, blkB, clip_eps, value_coef, mask_actions,
-                jnp.dtype(matmul_dtype)),
+                jnp.dtype(matmul_dtype), cell),
         grid=(nbe,),
         in_specs=in_specs,
         out_specs=out_specs,

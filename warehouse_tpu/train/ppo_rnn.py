@@ -98,8 +98,9 @@ def make_train_rnn(
         reasons = []
         if jax.default_backend() != "tpu":
             reasons.append("not on TPU hardware")
-        if arch != "gru":
-            reasons.append(f"arch={arch!r} (kernel implements GRU)")
+        if arch not in ("gru", "lstm"):
+            reasons.append(
+                f"arch={arch!r} (kernel implements GRU/LSTM)")
         if env_cfg.global_obs:
             reasons.append("global_obs")
         if tcfg.shaping_coef != 0.0:
@@ -130,8 +131,9 @@ def make_train_rnn(
         reasons = []
         if jax.default_backend() != "tpu":
             reasons.append("not on TPU hardware")
-        if arch != "gru":
-            reasons.append(f"arch={arch!r} (kernel implements GRU)")
+        if arch not in ("gru", "lstm"):
+            reasons.append(
+                f"arch={arch!r} (kernel implements GRU/LSTM)")
         if tcfg.epoch_shuffle != "once":
             reasons.append("epoch_shuffle != 'once'")
         if tcfg.flat_optimizer:
@@ -149,8 +151,9 @@ def make_train_rnn(
     use_grad_pallas = grad_backend == "pallas"
     if use_grad_pallas:
         problems = []
-        if arch != "gru":
-            problems.append(f"arch={arch!r} (kernel implements GRU)")
+        if arch not in ("gru", "lstm"):
+            problems.append(
+                f"arch={arch!r} (kernel implements GRU/LSTM)")
         if tcfg.epoch_shuffle != "once":
             problems.append("epoch_shuffle != 'once'")
         if tcfg.flat_optimizer:
@@ -173,8 +176,9 @@ def make_train_rnn(
     use_pallas = rollout_backend == "pallas"
     if use_pallas:
         problems = []
-        if arch != "gru":
-            problems.append(f"arch={arch!r} (kernel implements GRU)")
+        if arch not in ("gru", "lstm"):
+            problems.append(
+                f"arch={arch!r} (kernel implements GRU/LSTM)")
         # model_dtype="bfloat16" IS allowed with the kernel: acting
         # runs f32 in-kernel (extract_rnn_weights casts) while the
         # SGD-phase sequence replay uses the bf16 torso — the recurrent
@@ -269,7 +273,7 @@ def make_train_rnn(
              new_carry) = ppo_rnn_rollout_pallas(
                 cfg_noar, params, env_state_in, h0, tcfg.unroll_length,
                 key, tcfg.pallas_block, tcfg.pallas_interpret,
-                tcfg.mask_actions)
+                tcfg.mask_actions, arch)
             env_state, last_obs, done_b = reset_truncated_batch(
                 cfg_noar, new_env_state, reset_key_last)
             last_h = jax.tree.map(
@@ -504,9 +508,17 @@ def make_train_rnn(
                              adv_n, targets, traj.mask,
                              env_cfg.num_actions)
         # Rollout-start carry in the act kernel's row layout
-        # [A*H, B] (f32; the bf16 torso's carry casts up).
-        h0_rows = h0.astype(jnp.float32).transpose(1, 2, 0).reshape(
-            A * tcfg.hidden_dim, b_local)
+        # (agent-major, batch-minor; f32 — the bf16 torso's carry
+        # casts up). LSTM: c rows then h rows.
+        def carry_rows(x):
+            return x.astype(jnp.float32).transpose(1, 2, 0).reshape(
+                A * tcfg.hidden_dim, b_local)
+
+        if arch == "lstm":
+            h0_rows = jnp.concatenate(
+                [carry_rows(h0[0]), carry_rows(h0[1])], axis=0)
+        else:
+            h0_rows = carry_rows(h0)
 
         n_steps = tcfg.ppo_epochs * M
         kw = dict(
