@@ -40,9 +40,12 @@ The loss math and tie conventions are ``pallas/sgd.py``'s, shared via
 ``_loss_and_dout``; the in-kernel optimizer is the shared
 ``_clip_adam_step`` (exact ``optax.chain(clip_by_global_norm, adam)``).
 
-Scope (the trainer gates on this): ActorCriticRNN with cell_type="gru",
-shared policy, ``epoch_shuffle="once"`` composition,
-``flat_optimizer=False``; action masking supported. Multi-device:
+Scope (the trainer gates on this): ActorCriticRNN with
+cell_type="gru" or "lstm" (the LSTM variant stores the c sequence
+alongside h and backwards through c' = f*c + i*g, h' = o*tanh(c');
+cell auto-detected from the params tree), shared policy,
+``epoch_shuffle="once"`` composition, ``flat_optimizer=False``; action
+masking supported. Multi-device:
 ``ppo_rnn_minibatch_grads_pallas`` emits per-minibatch grads for an XLA
 ``pmean`` + optimizer step, composing with ``shard_map``.
 

@@ -27,6 +27,13 @@ def main(argv=None) -> None:
                    help="V-trace c̄ trace clip (impala only)")
     p.add_argument("--impala-passes", type=int, default=1,
                    help="replays of each rollout per update (impala only)")
+    p.add_argument("--impala-adam", action="store_true",
+                   help="Adam instead of IMPALA's canonical RMSProp "
+                        "(impala only). RMSProp's eps=0.1 heavily damps "
+                        "the small gradients this env produces — Adam "
+                        "learns it in a few hundred updates where "
+                        "RMSProp needs the paper's long-horizon budget "
+                        "(docs/RESULTS.md r4)")
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--unroll-length", type=int, default=16)
     p.add_argument("--num-updates", type=int, default=200)
@@ -174,6 +181,7 @@ def main(argv=None) -> None:
         rho_clip=args.rho_clip,
         c_clip=args.c_clip,
         impala_passes=args.impala_passes,
+        impala_rmsprop=not args.impala_adam,
     )
 
     devices = jax.devices()
