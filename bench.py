@@ -319,6 +319,16 @@ def main() -> None:
                     round(ppo_sps) if ppo_sps else None
                 ),
                 "ppo_backend": ppo_backend if ppo_sps else None,
+                # RESOLVED backends per trained family ({"rollout":
+                # ..., "grad": ...}) — which compute paths actually
+                # produced each number (VERDICT r3 item 6).
+                "ppo_resolved": ppo.get("resolved") if ppo else None,
+                "impala_resolved": (
+                    impala.get("resolved") if impala else None
+                ),
+                "ppo_rnn_resolved": (
+                    ppo_rnn.get("resolved") if ppo_rnn else None
+                ),
                 "ppo_vs_baseline": (
                     round(ppo_sps / PER_CHIP_TARGET, 3) if ppo_sps else None
                 ),

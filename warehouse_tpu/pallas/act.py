@@ -321,25 +321,16 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
                 for i in range(A)
             ]
 
-        act = []
-        for i in range(A):
-            obs_rows = obs_rows_fn(cfg, i, p_r, p_c, aq, cy,
-                                   q_pr, q_pc, q_dr, q_dc, q_st)
-            if Dp > D:
-                pad = jnp.zeros_like(obs_rows[0])
-                obs_rows = obs_rows + [pad] * (Dp - D)
-            x = jnp.concatenate(obs_rows, axis=0)         # [Dp, B]
-            o_obs[pl.ds((t * A + i) * Dp, Dp), :] = x
-
-            # Torso forward on the MXU: weights are pre-transposed
-            # [out, in]; agent i's policy group picked at trace time.
-            # CNN (n_relu > 0): first n_relu layers are the UNROLLED
-            # convs (relu) over the grid rows; the self-feature rows
-            # re-join after the last conv; the rest is the tanh dense
-            # torso. MLP is the n_relu == 0 special case.
-            wbs = wbs_g[groups[i]]
-            wh_ref, bh_ref = heads_g[groups[i]]
-            h = x[:cnn_split, :] if n_relu else x[:D, :]
+        def forward(x_in, g_idx):
+            """Torso forward on the MXU for one agent's [Dp, NB] rows
+            (or the agent-concat [Dp, A*NB]): weights pre-transposed
+            [out, in]. CNN (n_relu > 0): first n_relu layers are the
+            UNROLLED convs (relu) over the grid rows; the self-feature
+            rows re-join after the last conv; the rest is the tanh
+            dense torso. MLP is the n_relu == 0 special case."""
+            wbs = wbs_g[g_idx]
+            wh_ref, bh_ref = heads_g[g_idx]
+            h = x_in[:cnn_split, :] if n_relu else x_in[:D, :]
             for li, (w_ref, b_ref) in enumerate(wbs):
                 z = jax.lax.dot_general(
                     w_ref[:, :], h,
@@ -349,13 +340,36 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
                 h = jnp.maximum(z, 0.0) if li < n_relu else jnp.tanh(z)
                 if n_relu and li == n_relu - 1:
                     h = jnp.concatenate(
-                        [h, x[cnn_split:D, :]], axis=0)
-            out = jax.lax.dot_general(
+                        [h, x_in[cnn_split:D, :]], axis=0)
+            return jax.lax.dot_general(
                 wh_ref[:, :], h,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bh_ref[:, :]                              # [6(+pad), B]
+            ) + bh_ref[:, :]                              # [6(+pad), N]
 
+        xs = []
+        for i in range(A):
+            obs_rows = obs_rows_fn(cfg, i, p_r, p_c, aq, cy,
+                                   q_pr, q_pc, q_dr, q_dc, q_st)
+            if Dp > D:
+                pad = jnp.zeros_like(obs_rows[0])
+                obs_rows = obs_rows + [pad] * (Dp - D)
+            x = jnp.concatenate(obs_rows, axis=0)         # [Dp, B]
+            o_obs[pl.ds((t * A + i) * Dp, Dp), :] = x
+            xs.append(x)
+
+        # NOTE (measured null result, docs/RESULTS.md r4): running the
+        # shared-policy forward as ONE agent-concat wide matmul
+        # (bit-identical — matmuls are column-wise) REGRESSED ~2% on
+        # chip: inside a kernel there is no per-call launch overhead
+        # to amortize (the replay kernels' win), and the concat's VMEM
+        # copies cost more than the wider MXU shape saves at block
+        # 512. Keep the per-agent calls.
+        outs_a = [forward(xs[i], groups[i]) for i in range(A)]
+
+        act = []
+        for i in range(A):
+            out = outs_a[i]
             base = (t * A + i) * 16
             if mask_act:
                 # Floor invalid logits BEFORE sampling (the XLA path's
