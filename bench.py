@@ -115,17 +115,9 @@ def bench_pallas(jax, jnp):
     # episodes, the floor removes the readback tax, so THIS number is
     # the cross-round-comparable one (the wall-clock aggregate above
     # conflates kernel quality with chip/tunnel weather).
-    @jax.jit
-    def null():
-        return jnp.float32(0.0)
+    from warehouse_tpu.utils.profiling import readback_floor
 
-    float(null())
-    floors = []
-    for _ in range(4):
-        t2 = time.perf_counter()
-        float(null())
-        floors.append(time.perf_counter() - t2)
-    floor = min(floors)
+    floor = readback_floor()
     cal_denom = min(ep_times) - floor
     cal_sps = B * T / cal_denom if cal_denom > 0 else None
     return agg_sps, ep_times, cal_sps

@@ -88,17 +88,9 @@ def main() -> None:
               f"(loss {loss:.5f})", file=sys.stderr, flush=True)
         runs[name] = (tr, rs, [])
 
-    @jax.jit
-    def null():
-        return jax.numpy.float32(0.0)
+    from warehouse_tpu.utils.profiling import readback_floor
 
-    float(null())
-    floors = []
-    for _ in range(args.rounds):
-        t0 = time.perf_counter()
-        float(null())
-        floors.append(time.perf_counter() - t0)
-    floor = min(floors)
+    floor = readback_floor(args.rounds)
 
     for _ in range(args.rounds):
         for name, (tr, rs, times) in runs.items():

@@ -432,3 +432,27 @@ def test_trainer_backend_equivalence_cnn():
             assert abs(float(mx[k]) - float(mp[k])) < 3e-4, k
     assert bool(jnp.all(rsx.env_state.agent_pos == rsp.env_state.agent_pos))
     assert bool(jnp.all(rsx.env_state.t == rsp.env_state.t))
+
+
+def test_cnn_global_large_grid_gate():
+    """Round-4 code-review regression: global-obs CNN on a large grid
+    unrolls conv matrices past the act kernel's VMEM budget — the
+    explicit gate must refuse (named) and auto must fall back, never
+    crash in Mosaic allocation."""
+    from warehouse_tpu.config import large_config
+    from warehouse_tpu.train.ppo import make_train
+
+    cfg = large_config(global_obs=True, max_steps=8)
+    base = TrainConfig(num_envs=16, unroll_length=4, num_minibatches=2,
+                       hidden_dim=32)
+    with pytest.raises(ValueError, match="VMEM"):
+        make_train(cfg, base.replace(rollout_backend="pallas",
+                                     pallas_block=16), arch="cnn")
+    tr = make_train(cfg, base, arch="cnn")      # auto -> xla, no raise
+    assert tr.backends["rollout"] == "xla"
+    # Ego-window CNN on the same grid stays in-envelope (tiny unroll).
+    tr2 = make_train(large_config(max_steps=8),
+                     base.replace(rollout_backend="pallas",
+                                  pallas_block=16,
+                                  pallas_interpret=True), arch="cnn")
+    assert tr2.backends["rollout"] == "pallas"

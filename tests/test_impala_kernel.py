@@ -116,8 +116,11 @@ def _kernel_inputs(data, last_obs):
     return obs_bm, fields, lrows
 
 
-@pytest.mark.parametrize("mask_on,use_rms",
-                         [(False, True), (True, True), (True, False)])
+@pytest.mark.parametrize("mask_on,use_rms", [
+    (True, True),
+    pytest.param(False, True, marks=pytest.mark.slow),
+    (True, False),
+])
 def test_impala_phase_kernel_matches_xla_scaffold(mask_on, use_rms):
     (model, params, tx, sched, opt_state, data, last_obs) = _setup(
         mask_on, use_rms)

@@ -244,3 +244,26 @@ def test_rnn_grad_backend_gate_raises():
     with _pytest.raises(ValueError, match="flat_optimizer"):
         make_rnn_trainer(grad_backend="pallas", flat_optimizer=True,
                          pallas_interpret=True)
+
+
+def test_rnn_grad_gate_requires_chunk_final_truncation():
+    """Round-4 code-review regression: the fused sequence-replay kernel
+    runs the full T steps with NO carry resets, which is only exact
+    when truncation lands on the chunk's last step — the grad gate must
+    enforce max_steps % unroll_length == 0 (it used to miss it, which
+    would have silently skipped mid-chunk carry resets)."""
+    import pytest as _pytest
+
+    from warehouse_tpu import TrainConfig, small_config
+    from warehouse_tpu.train.ppo_rnn import make_train_rnn
+
+    cfg = small_config(max_steps=10)       # 10 % 4 != 0
+    t = TrainConfig(num_envs=16, unroll_length=4, num_minibatches=2,
+                    hidden_dim=32, grad_backend="pallas",
+                    pallas_interpret=True)
+    with _pytest.raises(ValueError, match="max_steps"):
+        make_train_rnn(cfg, t)
+    # Auto must FALL BACK (not raise) on the same config.
+    tr = make_rnn_trainer(unroll_length=4)
+    tr2 = make_train_rnn(cfg, t.replace(grad_backend="auto"))
+    assert tr2.backends["grad"] == "xla"

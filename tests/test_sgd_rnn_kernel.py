@@ -156,10 +156,13 @@ def _loss_fn_for(model, mask_on):
     return loss_fn
 
 
-@pytest.mark.parametrize("mask_on,n_enc,cell",
-                         [(False, 1, "gru"), (True, 1, "gru"),
-                          (False, 2, "gru"), (False, 1, "lstm"),
-                          (True, 2, "lstm")])
+@pytest.mark.parametrize("mask_on,n_enc,cell", [
+    (True, 1, "gru"),
+    pytest.param(False, 1, "gru", marks=pytest.mark.slow),
+    pytest.param(False, 2, "gru", marks=pytest.mark.slow),
+    (False, 1, "lstm"),
+    pytest.param(True, 2, "lstm", marks=pytest.mark.slow),
+])
 def test_rnn_sgd_phase_kernel_matches_xla_scaffold(mask_on, n_enc,
                                                    cell):
     (model, params, tx, sched, opt_state, data, h0) = _setup(
@@ -204,9 +207,11 @@ def test_rnn_sgd_phase_kernel_matches_xla_scaffold(mask_on, n_enc,
                                    rtol=1e-5, atol=1e-10)
 
 
-@pytest.mark.parametrize("mask_on,cell",
-                         [(False, "gru"), (True, "gru"),
-                          (True, "lstm")])
+@pytest.mark.parametrize("mask_on,cell", [
+    (True, "gru"),
+    pytest.param(False, "gru", marks=pytest.mark.slow),
+    (True, "lstm"),
+])
 def test_rnn_minibatch_grads_kernel_matches_jax_grad(mask_on, cell):
     (model, params, _tx, _sched, _opt, data, h0) = _setup(
         mask_on, seed=3, cell=cell)

@@ -604,6 +604,31 @@ def normalize_adv_env_minibatch(advantages, num_minibatches: int):
     return ((adv_g - mean) / (std + 1e-8)).reshape(T, B, A)
 
 
+def resolve_block_envs(mbB: int, B: int, block_envs: int,
+                       interpret: bool, bytes_per_col: int = 0,
+                       vmem_budget: int = 90 * 1024 * 1024,
+                       kind: str = "SGD") -> int:
+    """THE canonical env-column block resolution, shared by every fused
+    learner kernel wrapper AND the trainer gates (so a gate can never
+    approve a block the kernel would reject — the round-4 code review
+    found exactly that drift): halve ``block_envs`` until it divides
+    the minibatch, then (when a per-column VMEM cost is given) halve
+    further while the estimated footprint exceeds the budget; raise if
+    the result violates Mosaic lane tiling (% 128, unless it spans the
+    full env batch) outside interpret mode."""
+    blkB = block_envs
+    while mbB % blkB:
+        blkB //= 2
+    while (bytes_per_col and blkB > 128
+           and blkB * bytes_per_col > vmem_budget):
+        blkB //= 2
+    if not interpret and blkB % 128 and blkB != B:
+        raise ValueError(
+            f"{kind} block_envs resolved to {blkB}: must be a multiple"
+            " of 128 (Mosaic lane tiling) or equal to the env batch")
+    return blkB
+
+
 def _pick_k_ta(ta: int, want: int, group_mod: int = 1) -> int:
     """Largest divisor of ``ta`` that is <= ``want`` and a multiple of
     ``group_mod`` (the agent count when policy groups are active, so a
@@ -676,13 +701,7 @@ def ppo_sgd_phase_pallas(
     if B % M:
         raise ValueError(f"B={B} not divisible by {M} minibatches")
     mbB = B // M
-    blkB = block_envs
-    while mbB % blkB:
-        blkB //= 2
-    if not interpret and blkB % 128 and blkB != B:
-        raise ValueError(
-            f"SGD block_envs resolved to {blkB}: must be a multiple of "
-            "128 (Mosaic lane tiling) or equal to the env batch")
+    blkB = resolve_block_envs(mbB, B, block_envs, interpret)
     nbe = mbB // blkB
 
     p_list = _flat_tensors(params)
@@ -793,13 +812,7 @@ def ppo_minibatch_grads_pallas(
     if B % M:
         raise ValueError(f"B={B} not divisible by {M} minibatches")
     mbB = B // M
-    blkB = block_envs
-    while mbB % blkB:
-        blkB //= 2
-    if not interpret and blkB % 128 and blkB != B:
-        raise ValueError(
-            f"SGD block_envs resolved to {blkB}: must be a multiple of "
-            "128 (Mosaic lane tiling) or equal to the env batch")
+    blkB = resolve_block_envs(mbB, B, block_envs, interpret)
     nbe = mbB // blkB
 
     p_list = _flat_tensors(params)

@@ -70,6 +70,7 @@ from .sgd import (
     _loss_and_dout,
     find_adam_state,
     rebuild_opt_state,
+    resolve_block_envs,
 )
 
 HEAD_ROWS = 8  # fused logits+value head rows, padded (extract_rnn_weights)
@@ -512,27 +513,14 @@ def _unflat_rnn_tensors(tensors, template):
     return tree
 
 
-VMEM_BUDGET = 90 * 1024 * 1024  # leave headroom under the 100M limit
-
-
 def _resolve_blk(mbB: int, B: int, block_envs: int, interpret: bool,
                  bytes_per_col: int = 0):
-    """Resolve the env-column block: divide mbB, respect lane tiling,
-    and auto-halve while the estimated VMEM footprint (obs/fields/h0
-    windows double-buffered + h/dout scratch) exceeds the budget — a
-    too-large block must degrade to a smaller one, not crash in Mosaic
-    allocation (measured: blkB=1024 at config-4 shapes is ~115M)."""
-    blkB = block_envs
-    while mbB % blkB:
-        blkB //= 2
-    while (bytes_per_col and blkB > 128
-           and blkB * bytes_per_col > VMEM_BUDGET):
-        blkB //= 2
-    if not interpret and blkB % 128 and blkB != B:
-        raise ValueError(
-            f"RNN SGD block_envs resolved to {blkB}: must be a multiple"
-            " of 128 (Mosaic lane tiling) or equal to the env batch")
-    return blkB
+    """Shared canonical resolution (pallas/sgd.py resolve_block_envs)
+    with this kernel's VMEM footprint auto-halving — a too-large block
+    must degrade to a smaller one, not crash in Mosaic allocation
+    (measured: blkB=1024 at config-4 shapes is ~115M)."""
+    return resolve_block_envs(mbB, B, block_envs, interpret,
+                              bytes_per_col, kind="RNN SGD")
 
 
 def _bytes_per_col(T: int, A: int, Dp: int, H: int) -> int:

@@ -62,6 +62,7 @@ from .sgd import (
     _unflat_tensors,
     find_adam_state,
     rebuild_opt_state,
+    resolve_block_envs,
 )
 
 NEG_INF = -1e9
@@ -429,13 +430,8 @@ def _impala_common(params, obs_bm, obs_dim, num_minibatches,
     if B % M:
         raise ValueError(f"B={B} not divisible by {M} minibatches")
     mbB = B // M
-    blkB = block_envs
-    while mbB % blkB:
-        blkB //= 2
-    if not interpret and blkB % 128 and blkB != B:
-        raise ValueError(
-            f"IMPALA block_envs resolved to {blkB}: must be a multiple"
-            " of 128 (Mosaic lane tiling) or equal to the env batch")
+    blkB = resolve_block_envs(mbB, B, block_envs, interpret,
+                              kind="IMPALA")
     nbe = mbB // blkB
     mb_n = mbB * unroll_length * num_agents
     p_list = _flat_tensors(params)

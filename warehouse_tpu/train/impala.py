@@ -103,97 +103,12 @@ def make_train_impala(
 
     from .backends import log_auto_resolution
 
-    rollout_backend = tcfg.rollout_backend
-    if rollout_backend == "auto":
-        # Fast fused acting on real TPU hardware when in-envelope.
-        reasons = []
-        if jax.default_backend() != "tpu":
-            reasons.append("not on TPU hardware")
-        if arch != "mlp":
-            reasons.append(f"arch={arch!r} (kernel implements MLP)")
-        if tcfg.model_dtype != "float32":
-            reasons.append("model_dtype")
-        if env_cfg.global_obs:
-            reasons.append("global_obs")
-        if env_cfg.max_steps % tcfg.unroll_length:
-            reasons.append("max_steps % unroll_length != 0")
-        if b_local % tcfg.pallas_block:
-            reasons.append(
-                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
-        elif not (tcfg.pallas_block % 128 == 0
-                  or tcfg.pallas_block == b_local):
-            reasons.append(f"pallas_block={tcfg.pallas_block} % 128")
-        rollout_backend = "xla" if reasons else "pallas"
-        log_auto_resolution("rollout_backend", rollout_backend,
-                            reasons, "impala")
-
-    def _blk(mbB: int) -> int:
-        blkB = tcfg.impala_block_envs
-        while mbB % blkB:
-            blkB //= 2
-        return blkB
-
-    grad_backend = tcfg.grad_backend
-    if grad_backend == "auto":
-        # Fused V-trace learner kernel (pallas/vtrace_sgd.py) on real
-        # TPU hardware when in-envelope (round 4 — the learner phase
-        # was the measured 1.9 ms/update deficit vs fused PPO,
-        # benchmarks/ab_impala.py).
-        reasons = []
-        if jax.default_backend() != "tpu":
-            reasons.append("not on TPU hardware")
-        if arch != "mlp":
-            reasons.append(f"arch={arch!r} (kernel implements MLP)")
-        if tcfg.model_dtype != "float32":
-            reasons.append("model_dtype")
-        if tcfg.bootstrap_truncated:
-            reasons.append("bootstrap_truncated")
-        if tcfg.micro_batches != 1:
-            reasons.append("micro_batches != 1")
-        if tcfg.flat_optimizer:
-            reasons.append("flat_optimizer")
-        if env_cfg.num_actions + 1 > 8:
-            reasons.append(
-                f"num_actions={env_cfg.num_actions} > 7 (head rows)")
-        blkB = _blk(b_local // tcfg.num_minibatches)
-        if not (blkB % 128 == 0 or blkB == b_local):
-            reasons.append(
-                f"IMPALA block resolves to {blkB} envs (% 128)")
-        grad_backend = "xla" if reasons else "pallas"
-        log_auto_resolution("grad_backend", grad_backend, reasons,
-                            "impala")
-    use_grad_pallas = grad_backend == "pallas"
-    if use_grad_pallas:
+    # ONE envelope-problems function per backend for BOTH the auto
+    # resolution and the explicit gate (round-4 code review: no drift).
+    def _rollout_problems(check_lanes: bool):
         problems = []
         if arch != "mlp":
-            problems.append(f"arch={arch!r}")
-        if tcfg.model_dtype != "float32":
-            problems.append("model_dtype")
-        if tcfg.bootstrap_truncated:
-            problems.append("bootstrap_truncated")
-        if tcfg.micro_batches != 1:
-            problems.append("micro_batches != 1 (the kernel's VMEM "
-                            "block accumulation already is one)")
-        if tcfg.flat_optimizer:
-            problems.append("flat_optimizer")
-        if env_cfg.num_actions + 1 > 8:
-            problems.append(f"num_actions={env_cfg.num_actions} > 7")
-        if not tcfg.pallas_interpret:
-            blkB = _blk(b_local // tcfg.num_minibatches)
-            if blkB % 128 and blkB != b_local:
-                problems.append(
-                    f"IMPALA block resolves to {blkB} envs: must be a"
-                    " multiple of 128 (Mosaic lane tiling) or the full"
-                    " env batch")
-        if problems:
-            raise ValueError(
-                "grad_backend='pallas' unsupported with (impala): "
-                + ", ".join(problems))
-    use_pallas = rollout_backend == "pallas"
-    if use_pallas:
-        problems = []
-        if arch != "mlp":
-            problems.append(f"arch={arch!r}")
+            problems.append(f"arch={arch!r} (kernel implements MLP)")
         if tcfg.model_dtype != "float32":
             problems.append("model_dtype")
         if env_cfg.global_obs:
@@ -203,6 +118,70 @@ def make_train_impala(
         if b_local % tcfg.pallas_block:
             problems.append(
                 f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
+        elif check_lanes and not (tcfg.pallas_block % 128 == 0
+                                  or tcfg.pallas_block == b_local):
+            problems.append(f"pallas_block={tcfg.pallas_block} % 128")
+        return problems
+
+    def _grad_problems(check_lanes: bool):
+        # Fused V-trace learner envelope (pallas/vtrace_sgd.py).
+        from ..pallas.sgd import resolve_block_envs
+
+        problems = []
+        if arch != "mlp":
+            problems.append(f"arch={arch!r} (kernel implements MLP)")
+        if tcfg.model_dtype != "float32":
+            problems.append("model_dtype")
+        if tcfg.bootstrap_truncated:
+            problems.append("bootstrap_truncated")
+        if tcfg.micro_batches != 1:
+            problems.append("micro_batches != 1 (the kernel's VMEM "
+                            "block accumulation already is one)")
+        if tcfg.flat_optimizer:
+            problems.append("flat_optimizer")
+        if check_lanes:
+            try:
+                resolve_block_envs(
+                    b_local // tcfg.num_minibatches, b_local,
+                    tcfg.impala_block_envs, False, kind="IMPALA")
+            except ValueError as e:
+                problems.append(str(e))
+        return problems
+
+    rollout_backend = tcfg.rollout_backend
+    if rollout_backend == "auto":
+        # Fast fused acting on real TPU hardware when in-envelope.
+        reasons = _rollout_problems(check_lanes=True)
+        if jax.default_backend() != "tpu":
+            reasons.insert(0, "not on TPU hardware")
+        rollout_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("rollout_backend", rollout_backend,
+                            reasons, "impala")
+
+    grad_backend = tcfg.grad_backend
+    if grad_backend == "auto":
+        # Fused V-trace learner kernel (pallas/vtrace_sgd.py) on real
+        # TPU hardware when in-envelope (round 4 — the learner phase
+        # was the measured 1.9 ms/update deficit vs fused PPO,
+        # benchmarks/ab_impala.py).
+        reasons = _grad_problems(check_lanes=True)
+        if jax.default_backend() != "tpu":
+            reasons.insert(0, "not on TPU hardware")
+        grad_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("grad_backend", grad_backend, reasons,
+                            "impala")
+    use_grad_pallas = grad_backend == "pallas"
+    if use_grad_pallas:
+        problems = _grad_problems(
+            check_lanes=not tcfg.pallas_interpret)
+        if problems:
+            raise ValueError(
+                "grad_backend='pallas' unsupported with (impala): "
+                + ", ".join(problems))
+    use_pallas = rollout_backend == "pallas"
+    if use_pallas:
+        problems = _rollout_problems(
+            check_lanes=not tcfg.pallas_interpret)
         if problems:
             raise ValueError(
                 "rollout_backend='pallas' unsupported with: "

@@ -155,86 +155,59 @@ def make_train(
     # and bench.py can record what actually ran (VERDICT r3 item 6).
     from .backends import log_auto_resolution
 
-    rollout_backend = tcfg.rollout_backend
-    grad_backend = tcfg.grad_backend
-    if rollout_backend == "auto":
-        reasons = []
-        if jax.default_backend() != "tpu":
-            reasons.append("not on TPU hardware")
-        if arch not in ("mlp", "cnn"):
-            reasons.append(
-                f"arch={arch!r} (kernel implements MLP/CNN)")
-        if env_cfg.max_steps % tcfg.unroll_length:
-            reasons.append("max_steps % unroll_length != 0")
-        if b_local % tcfg.pallas_block:
-            reasons.append(
-                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
-        elif not (tcfg.pallas_block % 128 == 0
-                  or tcfg.pallas_block == b_local):
-            reasons.append(f"pallas_block={tcfg.pallas_block} % 128")
-        rollout_backend = "xla" if reasons else "pallas"
-        log_auto_resolution("rollout_backend", rollout_backend,
-                            reasons, "ppo")
-    if grad_backend == "auto":
-        reasons = []
-        if jax.default_backend() != "tpu":
-            reasons.append("not on TPU hardware")
-        if arch != "mlp":
-            reasons.append(f"arch={arch!r} (kernel implements MLP)")
-        if not use_state_shuffle:
-            reasons.append("epoch_shuffle != 'once' or "
-                           "minibatch_mode != 'env'")
-        if tcfg.micro_batches != 1:
-            reasons.append("micro_batches != 1")
-        if tcfg.flat_optimizer:
-            reasons.append("flat_optimizer")
-        if b_local % tcfg.num_minibatches:
-            reasons.append(f"B_local={b_local} % num_minibatches")
-        elif (b_local // tcfg.num_minibatches) % 128:
-            reasons.append(
-                f"minibatch envs {b_local // tcfg.num_minibatches} "
-                "% 128 (Mosaic lane tiling)")
-        grad_backend = "xla" if reasons else "pallas"
-        log_auto_resolution("grad_backend", grad_backend, reasons, "ppo")
-
-    use_pallas = rollout_backend == "pallas"
-    if use_pallas:
-        # The fused act-phase kernel's envelope (pallas/act.py): fail
-        # loudly rather than silently fall back. (global_obs and
-        # policy_groups are in-envelope since round 3.)
-        # model_dtype="bfloat16" is in-envelope: acting runs f32
-        # in-kernel (extract_mlp_weights casts); with the fused SGD
-        # kernel the torso matmuls run bf16 there (docs/RESULTS.md).
-        # arch="cnn" is in-envelope since round 4: the convs run as
-        # unrolled dense matmuls in-kernel (pallas/act.py
-        # extract_cnn_weights).
+    # ONE envelope-problems function per backend, consumed by BOTH the
+    # auto resolution (reasons) and the explicit-pallas gate (raise),
+    # so the two paths cannot drift apart (round-4 code review).
+    def _rollout_problems(check_lanes: bool):
+        # The fused act-phase kernel's envelope (pallas/act.py).
+        # global_obs and policy_groups are in-envelope since round 3;
+        # model_dtype="bfloat16" is in-envelope (acting runs f32
+        # in-kernel); arch="cnn" since round 4 (convs as unrolled
+        # dense matmuls, extract_cnn_weights).
         problems = []
         if arch not in ("mlp", "cnn"):
-            problems.append(f"arch={arch!r}")
+            problems.append(
+                f"arch={arch!r} (kernel implements MLP/CNN)")
+        elif arch == "cnn":
+            # The unrolled conv matrices must fit the kernel's VMEM
+            # budget alongside the block buffers — global-obs CNN on a
+            # large grid can exceed it (e.g. 15x15 global: the second
+            # conv alone unrolls to ~104 MB); fall back named rather
+            # than crash in Mosaic allocation.
+            side = (env_cfg.height if env_cfg.global_obs
+                    else env_cfg.window_size)
+            sub = (model.policies[0] if policy_groups is not None
+                   else model)
+            chans = (env_cfg.num_obs_channels, *sub.channels)
+            wb = sum(4 * (side * side) ** 2 * chans[i] * chans[i + 1]
+                     for i in range(len(chans) - 1))
+            if wb > 48 * 1024 * 1024:
+                problems.append(
+                    f"cnn unrolled conv weights ~{wb >> 20}MB exceed "
+                    "the act kernel's VMEM budget")
         if env_cfg.max_steps % tcfg.unroll_length:
             problems.append("max_steps % unroll_length != 0")
         if b_local % tcfg.pallas_block:
             problems.append(
                 f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
-        if problems:
-            raise ValueError(
-                "rollout_backend='pallas' unsupported with: "
-                + ", ".join(problems))
+        elif check_lanes and not (tcfg.pallas_block % 128 == 0
+                                  or tcfg.pallas_block == b_local):
+            problems.append(f"pallas_block={tcfg.pallas_block} % 128")
+        return problems
 
-    use_grad_pallas = grad_backend == "pallas"
-    if use_grad_pallas:
-        # The fused SGD-phase kernel's envelope (pallas/sgd.py): fail
-        # loudly rather than silently fall back. Minibatch composition
-        # is randomized by permuting the ENV STATE once per update
-        # (contiguous env ranges become random env sets), so the only
-        # supported cadence is the default env/once one.
+    def _grad_problems(check_lanes: bool):
+        # The fused SGD-phase kernel's envelope (pallas/sgd.py).
+        # Minibatch composition is randomized by permuting the ENV
+        # STATE once per update, so the only supported cadence is the
+        # default env/once one.
+        from ..pallas.sgd import resolve_block_envs
+
         problems = []
         if arch != "mlp":
-            problems.append(f"arch={arch!r}")
-        if tcfg.epoch_shuffle != "once":
-            problems.append("epoch_shuffle != 'once'")
-        if tcfg.minibatch_mode != "env":
-            problems.append("minibatch_mode != 'env'")
+            problems.append(f"arch={arch!r} (kernel implements MLP)")
+        if not use_state_shuffle:
+            problems.append("epoch_shuffle != 'once' or "
+                            "minibatch_mode != 'env'")
         if tcfg.micro_batches != 1:
             problems.append("micro_batches != 1 (the kernel's VMEM "
                             "block accumulation already is one)")
@@ -243,19 +216,44 @@ def make_train(
         if b_local % tcfg.num_minibatches:
             problems.append(
                 f"B_local={b_local} % num_minibatches")
-        elif not tcfg.pallas_interpret:
-            # Mirror the kernel wrapper's blkB resolution so an explicit
-            # 'pallas' request fails here (named), not as an opaque
-            # error inside pallas/sgd.py.
-            mbB = b_local // tcfg.num_minibatches
-            blkB = tcfg.sgd_block_envs
-            while mbB % blkB:
-                blkB //= 2
-            if blkB % 128 and blkB != b_local:
-                problems.append(
-                    f"SGD block resolves to {blkB} envs: must be a "
-                    "multiple of 128 (Mosaic lane tiling) or the full "
-                    "env batch")
+        elif check_lanes:
+            try:
+                resolve_block_envs(
+                    b_local // tcfg.num_minibatches, b_local,
+                    tcfg.sgd_block_envs, False)
+            except ValueError as e:
+                problems.append(str(e))
+        return problems
+
+    rollout_backend = tcfg.rollout_backend
+    grad_backend = tcfg.grad_backend
+    if rollout_backend == "auto":
+        reasons = _rollout_problems(check_lanes=True)
+        if jax.default_backend() != "tpu":
+            reasons.insert(0, "not on TPU hardware")
+        rollout_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("rollout_backend", rollout_backend,
+                            reasons, "ppo")
+    if grad_backend == "auto":
+        reasons = _grad_problems(check_lanes=True)
+        if jax.default_backend() != "tpu":
+            reasons.insert(0, "not on TPU hardware")
+        grad_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("grad_backend", grad_backend, reasons, "ppo")
+
+    use_pallas = rollout_backend == "pallas"
+    if use_pallas:
+        problems = _rollout_problems(
+            check_lanes=not tcfg.pallas_interpret)
+        if problems:
+            raise ValueError(
+                "rollout_backend='pallas' unsupported with: "
+                + ", ".join(problems))
+
+    use_grad_pallas = grad_backend == "pallas"
+    if use_grad_pallas:
+        problems = _grad_problems(
+            check_lanes=not tcfg.pallas_interpret)
         if problems:
             raise ValueError(
                 "grad_backend='pallas' unsupported with: "

@@ -92,100 +92,22 @@ def make_train_rnn(
 
     from .backends import log_auto_resolution
 
-    rollout_backend = tcfg.rollout_backend
-    if rollout_backend == "auto":
-        # Fast fused GRU acting on real TPU hardware when in-envelope.
-        reasons = []
-        if jax.default_backend() != "tpu":
-            reasons.append("not on TPU hardware")
-        if arch not in ("gru", "lstm"):
-            reasons.append(
-                f"arch={arch!r} (kernel implements GRU/LSTM)")
-        if env_cfg.global_obs:
-            reasons.append("global_obs")
-        if tcfg.shaping_coef != 0.0:
-            reasons.append("shaping_coef")
-        if tcfg.bootstrap_truncated:
-            reasons.append("bootstrap_truncated")
-        if env_cfg.max_steps % tcfg.unroll_length:
-            reasons.append("max_steps % unroll_length != 0")
-        if b_local % tcfg.pallas_block:
-            reasons.append(
-                f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
-        elif not (tcfg.pallas_block % 128 == 0
-                  or tcfg.pallas_block == b_local):
-            reasons.append(f"pallas_block={tcfg.pallas_block} % 128")
-        rollout_backend = "xla" if reasons else "pallas"
-        log_auto_resolution("rollout_backend", rollout_backend,
-                            reasons, "ppo_rnn")
-    def _rnn_blk(mbB: int) -> int:
-        blkB = tcfg.sgd_rnn_block_envs
-        while mbB % blkB:
-            blkB //= 2
-        return blkB
-
-    grad_backend = tcfg.grad_backend
-    if grad_backend == "auto":
-        # Fused sequence-replay SGD kernel (pallas/sgd_rnn.py) on real
-        # TPU hardware when in-envelope.
-        reasons = []
-        if jax.default_backend() != "tpu":
-            reasons.append("not on TPU hardware")
-        if arch not in ("gru", "lstm"):
-            reasons.append(
-                f"arch={arch!r} (kernel implements GRU/LSTM)")
-        if tcfg.epoch_shuffle != "once":
-            reasons.append("epoch_shuffle != 'once'")
-        if tcfg.flat_optimizer:
-            reasons.append("flat_optimizer")
-        if env_cfg.num_actions + 1 > 8:
-            reasons.append(
-                f"num_actions={env_cfg.num_actions} > 7 (head rows)")
-        blkB = _rnn_blk(b_local // tcfg.num_minibatches)
-        if not (blkB % 128 == 0 or blkB == b_local):
-            reasons.append(
-                f"RNN SGD block resolves to {blkB} envs (% 128)")
-        grad_backend = "xla" if reasons else "pallas"
-        log_auto_resolution("grad_backend", grad_backend, reasons,
-                            "ppo_rnn")
-    use_grad_pallas = grad_backend == "pallas"
-    if use_grad_pallas:
-        problems = []
-        if arch not in ("gru", "lstm"):
-            problems.append(
-                f"arch={arch!r} (kernel implements GRU/LSTM)")
-        if tcfg.epoch_shuffle != "once":
-            problems.append("epoch_shuffle != 'once'")
-        if tcfg.flat_optimizer:
-            problems.append("flat_optimizer")
-        if env_cfg.num_actions + 1 > 8:
-            problems.append(
-                f"num_actions={env_cfg.num_actions} > 7 (head rows)")
-        if not tcfg.pallas_interpret:
-            blkB = _rnn_blk(b_local // tcfg.num_minibatches)
-            if blkB % 128 and blkB != b_local:
-                problems.append(
-                    f"RNN SGD block resolves to {blkB} envs: must be a"
-                    " multiple of 128 (Mosaic lane tiling) or the full"
-                    " env batch")
-        if problems:
-            raise ValueError(
-                "grad_backend='pallas' unsupported with (rnn): "
-                + ", ".join(problems))
-
-    use_pallas = rollout_backend == "pallas"
-    if use_pallas:
+    # ONE envelope-problems function per backend, consumed by BOTH the
+    # auto resolution (reasons) and the explicit-pallas gate (raise):
+    # the two paths can no longer drift apart (round-4 code review:
+    # the hand-duplicated grad gate had dropped the
+    # max_steps % unroll_length condition the replay kernel needs —
+    # mid-chunk carry resets would have been silently skipped).
+    def _rollout_problems(check_lanes: bool):
         problems = []
         if arch not in ("gru", "lstm"):
             problems.append(
                 f"arch={arch!r} (kernel implements GRU/LSTM)")
         # model_dtype="bfloat16" IS allowed with the kernel: acting
-        # runs f32 in-kernel (extract_rnn_weights casts) while the
-        # SGD-phase sequence replay uses the bf16 torso — the recurrent
-        # path is matmul-bound in the replay (docs/RESULTS.md r3s1:
-        # bf16 took the XLA path 1.62M -> 2.37M env-steps/s), and PPO's
-        # ratio is robust to the f32-act/bf16-replay precision split
-        # (curve proof in RESULTS.md).
+        # runs f32 in-kernel (extract weights cast) while the SGD-phase
+        # sequence replay uses bf16 matmuls — the recurrent path is
+        # matmul-bound in the replay (docs/RESULTS.md r3s1/r4; curve
+        # proofs there).
         if env_cfg.global_obs:
             problems.append("global_obs")
         if tcfg.shaping_coef != 0.0:
@@ -197,6 +119,77 @@ def make_train_rnn(
         if b_local % tcfg.pallas_block:
             problems.append(
                 f"B_local={b_local} % pallas_block={tcfg.pallas_block}")
+        elif check_lanes and not (tcfg.pallas_block % 128 == 0
+                                  or tcfg.pallas_block == b_local):
+            problems.append(f"pallas_block={tcfg.pallas_block} % 128")
+        return problems
+
+    def _grad_problems(check_lanes: bool):
+        from ..pallas.sgd import resolve_block_envs
+
+        problems = []
+        if arch not in ("gru", "lstm"):
+            problems.append(
+                f"arch={arch!r} (kernel implements GRU/LSTM)")
+        if tcfg.epoch_shuffle != "once":
+            problems.append("epoch_shuffle != 'once'")
+        if tcfg.flat_optimizer:
+            problems.append("flat_optimizer")
+        if env_cfg.max_steps % tcfg.unroll_length:
+            # The replay kernel runs the full T steps with NO carry
+            # resets; only chunk-final truncation makes that exact.
+            problems.append("max_steps % unroll_length != 0")
+        if check_lanes:
+            try:
+                # The kernel's OWN resolution (incl. VMEM auto-halving).
+                from ..pallas.act import _pad8
+                from ..pallas.sgd_rnn import _bytes_per_col
+
+                ncar = 2 if arch == "lstm" else 1
+                resolve_block_envs(
+                    b_local // tcfg.num_minibatches, b_local,
+                    tcfg.sgd_rnn_block_envs, False,
+                    _bytes_per_col(tcfg.unroll_length,
+                                   env_cfg.num_agents,
+                                   _pad8(env_cfg.obs_dim),
+                                   tcfg.hidden_dim * ncar),
+                    kind="RNN SGD")
+            except ValueError as e:
+                problems.append(str(e))
+        return problems
+
+    rollout_backend = tcfg.rollout_backend
+    if rollout_backend == "auto":
+        # Fast fused GRU/LSTM acting on real TPU when in-envelope.
+        reasons = _rollout_problems(check_lanes=True)
+        if jax.default_backend() != "tpu":
+            reasons.insert(0, "not on TPU hardware")
+        rollout_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("rollout_backend", rollout_backend,
+                            reasons, "ppo_rnn")
+
+    grad_backend = tcfg.grad_backend
+    if grad_backend == "auto":
+        # Fused sequence-replay SGD kernel (pallas/sgd_rnn.py).
+        reasons = _grad_problems(check_lanes=True)
+        if jax.default_backend() != "tpu":
+            reasons.insert(0, "not on TPU hardware")
+        grad_backend = "xla" if reasons else "pallas"
+        log_auto_resolution("grad_backend", grad_backend, reasons,
+                            "ppo_rnn")
+    use_grad_pallas = grad_backend == "pallas"
+    if use_grad_pallas:
+        problems = _grad_problems(
+            check_lanes=not tcfg.pallas_interpret)
+        if problems:
+            raise ValueError(
+                "grad_backend='pallas' unsupported with (rnn): "
+                + ", ".join(problems))
+
+    use_pallas = rollout_backend == "pallas"
+    if use_pallas:
+        problems = _rollout_problems(
+            check_lanes=not tcfg.pallas_interpret)
         if problems:
             raise ValueError(
                 "rollout_backend='pallas' unsupported with: "

@@ -47,3 +47,28 @@ class StepsPerSecond:
             )
         self._t = now
         return self.rate
+
+
+def readback_floor(rounds: int = 4) -> float:
+    """The null-jit + scalar-readback floor in seconds (min of
+    ``rounds`` timed calls after a warmup).
+
+    THE load-bearing calibration primitive on this machine's tunneled
+    chip (docs/RESULTS.md measurement rules): every cross-round-
+    comparable number subtracts this floor, so the protocol must be
+    defined ONCE — bench.py and every benchmarks/ab_* probe use this
+    helper."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _null():
+        return jnp.float32(0.0)
+
+    float(_null())
+    floors = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(_null())
+        floors.append(time.perf_counter() - t0)
+    return min(floors)
