@@ -1,4 +1,4 @@
-"""Throughput benchmark on 1 chip, three paths, ONE JSON line.
+"""Throughput benchmark on 1 chip, five paths, ONE JSON line.
 
 Paths reported (BASELINE.json configs 2 & 4):
 
