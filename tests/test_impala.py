@@ -247,3 +247,20 @@ def test_impala_grad_backend_gate_raises():
     with pytest.raises(ValueError, match="micro_batches"):
         make_tiny_trainer(grad_backend="pallas", micro_batches=2,
                           pallas_interpret=True)
+
+
+def test_impala_rmsprop_default_warns_at_build(caplog):
+    """The canonical-RMSProp default is measured NOT to learn this env
+    at few-hundred-update horizons (r4 curves) — building with it must
+    WARN and point at --impala-adam (VERDICT r4 item 6); the Adam
+    variant must stay silent."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="warehouse_tpu"):
+        make_tiny_trainer(impala_rmsprop=True)
+    assert any("impala-adam" in r.message for r in caplog.records
+               if r.levelno == logging.WARNING)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="warehouse_tpu"):
+        make_tiny_trainer(impala_rmsprop=False)
+    assert not any("impala-adam" in r.message for r in caplog.records)

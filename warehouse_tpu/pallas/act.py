@@ -55,6 +55,30 @@ from .rollout import env_tick
 PENDING = 1
 OBS_SLOT = -1  # set per-call: obs rows padded up to a multiple of 8
 
+# Hard ceiling handed to Mosaic (v5e VMEM is 128M; leave compiler slack).
+ACT_VMEM_CAP = 100 * 1024 * 1024
+
+
+def act_vmem_estimate(cfg: EnvConfig, T: int, block: int,
+                      weight_bytes: int) -> int:
+    """The act kernel's VMEM budget for one grid step: double-buffered
+    block inputs/outputs + the (single-copy, broadcast) weights +
+    compiler stack headroom. ``ppo_rollout_pallas`` passes this to
+    Mosaic as ``vmem_limit_bytes``; the CNN envelope gate in
+    train/ppo.py uses the SAME arithmetic with analytic weight bytes,
+    so gate and kernel cannot drift (ADVICE r4)."""
+    A, R = cfg.num_agents, cfg.queue_capacity
+    Dp = _pad8(cfg.obs_dim)
+    return (
+        4 * block * 2 * (          # 2x: grid double-buffering
+            T * A * Dp + T * A * 16    # obs + talp output blocks
+            + 10 * (A + R)             # state rows in+out
+            + T * (3 + A * 8)          # draws + gumbel
+        )
+        + weight_bytes                 # broadcast weight blocks
+        + 4 * 1024 * 1024              # compiler stack headroom
+    )
+
 
 def _pad8(n: int) -> int:
     return (n + 7) // 8 * 8
@@ -1109,13 +1133,18 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
     ]
 
     # The obs trajectory output block ([T*A*Dp, block] f32) dominates
-    # VMEM; size the scoped-vmem budget to the actual block footprint
-    # (default limit is 16M — a T=16 x block=512 call needs ~33M).
-    vmem_bytes = 4 * block * 2 * (            # 2x: grid double-buffering
-        T * A * Dp + T * A * 16               # obs + talp output blocks
-        + 10 * (A + R)                        # state rows in+out
-        + T * (3 + A * 8)                     # draws + gumbel
-    ) + 12 * 1024 * 1024                      # weights + compiler stack
+    # VMEM for MLP configs (default limit is 16M — a T=16 x block=512
+    # call needs ~33M); for CNN the unrolled conv matrices can rival it,
+    # so count the ACTUAL extracted weight bytes (ADVICE r4) via the
+    # same arithmetic the train/ppo.py envelope gate uses.
+    weight_bytes = sum(
+        int(x.size) * x.dtype.itemsize
+        for hidden, heads in gw
+        for w, b in (*hidden, heads)
+        for x in (w, b))
+    if shaping_coef > 0.0:
+        weight_bytes += int(tbl.size) * 4     # broadcast distance table
+    vmem_bytes = act_vmem_estimate(cfg, T, block, weight_bytes)
     outs = pl.pallas_call(
         partial(_act_kernel, cfg, T, n_hidden, mask_actions,
                 shaping_coef, gamma, groups, n_relu, cnn_split),
@@ -1125,7 +1154,7 @@ def ppo_rollout_pallas(cfg: EnvConfig, params, state: EnvState, T: int,
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 100 * 1024 * 1024),
+            vmem_limit_bytes=min(vmem_bytes, ACT_VMEM_CAP),
         ),
     )(*ins)
 

@@ -542,6 +542,31 @@ def find_adam_state(opt_state):
     return st.count, st.mu, st.nu
 
 
+def find_step_count(opt_state):
+    """Optimizer step count read from the state ITSELF (checkpoint /
+    warm-start safe — ADVICE r4): the ScaleByAdamState count if
+    present, else the lr schedule's ScaleByScheduleState count, else
+    ``None`` (constant-lr RMSProp keeps no count anywhere, and none is
+    needed: the count only feeds bias corrections / the lr schedule)."""
+    adam, sched = [], []
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            adam.append(node.count)
+        elif isinstance(node, optax.ScaleByScheduleState):
+            sched.append(node.count)
+        elif isinstance(node, tuple):
+            for c in node:
+                rec(c)
+
+    rec(opt_state)
+    if adam:
+        return adam[0]
+    if sched:
+        return sched[0]
+    return None
+
+
 def rebuild_opt_state(opt_state, new_mu, new_nu, n_steps: int):
     """New opt_state with updated Adam moments and every ``count``
     field advanced by ``n_steps`` (covers ScaleByAdamState and the LR

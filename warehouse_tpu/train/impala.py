@@ -21,8 +21,10 @@ Differences from PPO here mirror the algorithms themselves:
 
 from __future__ import annotations
 
+import logging
 from functools import partial
-from typing import Any, Callable, NamedTuple
+from types import MappingProxyType
+from typing import Any, Callable, Mapping, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -195,6 +197,20 @@ def make_train_impala(
     else:
         lr = tcfg.learning_rate
     # IMPALA's canonical optimizer is RMSProp (Espeholt et al. 2018 §4).
+    # Kept as the default for paper parity, but measured NOT to learn
+    # THIS env at few-hundred-update horizons: eps=0.1 damps its small
+    # gradients to a flat 0.005 del/step curve on both backends
+    # (runs/r4_curves/config4_impala_fused.jsonl), while Adam through
+    # the same kernel reaches PPO's level (0.246,
+    # config4_impala_fused_adam.jsonl). Warn at build so a short
+    # benchmark run is never silently un-learning (VERDICT r4 item 6).
+    if tcfg.impala_rmsprop:
+        logging.getLogger("warehouse_tpu").warning(
+            "IMPALA is using its canonical RMSProp (eps=0.1): measured "
+            "flat at few-hundred-update horizons on this env "
+            "(runs/r4_curves/config4_impala_fused.jsonl) — pass "
+            "--impala-adam / impala_rmsprop=False unless you are "
+            "running the paper's long-horizon budget")
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
         optax.rmsprop(lr, decay=0.99, eps=0.1)
@@ -472,9 +488,18 @@ def make_train_impala(
             interpret=tcfg.pallas_interpret,
         )
         if mesh is None:
-            # Optimizer-step counts advance n_steps per update
-            # (resume restores update_idx and opt_state together).
-            steps = rs.update_idx * n_steps + jnp.arange(n_steps)
+            # Optimizer-step count read from opt_state itself (the
+            # Adam count, or the lr schedule's count under RMSProp) so
+            # a warm-started opt_state can never diverge from the
+            # XLA backend's bias corrections / schedule (ADVICE r4).
+            # Constant-lr RMSProp keeps no count; fall back to the
+            # update_idx cadence (the count is then inert anyway).
+            from ..pallas.sgd import find_step_count
+
+            count0 = find_step_count(rs.opt_state)
+            if count0 is None:
+                count0 = rs.update_idx * n_steps
+            steps = count0 + jnp.arange(n_steps)
             if callable(lr):
                 lr_row = jax.vmap(lr)(steps).astype(jnp.float32)
             else:
@@ -593,4 +618,6 @@ class ImpalaTrainer(NamedTuple):
     env_cfg: EnvConfig
     tcfg: TrainConfig
     mesh: Any
-    backends: dict = {}     # RESOLVED {"rollout": ..., "grad": ...}
+    # RESOLVED {"rollout": ..., "grad": ...}; immutable default so no
+    # dict is shared across instances (ADVICE r4).
+    backends: Mapping = MappingProxyType({})

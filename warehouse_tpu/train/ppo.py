@@ -16,7 +16,8 @@ agents (parameter sharing over the agent axis, SURVEY.md C12).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple
+from types import MappingProxyType
+from typing import Any, Callable, Mapping, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -173,7 +174,13 @@ def make_train(
             # budget alongside the block buffers — global-obs CNN on a
             # large grid can exceed it (e.g. 15x15 global: the second
             # conv alone unrolls to ~104 MB); fall back named rather
-            # than crash in Mosaic allocation.
+            # than crash in Mosaic allocation. The threshold is the
+            # SAME budget arithmetic the kernel hands Mosaic
+            # (pallas/act.py act_vmem_estimate + ACT_VMEM_CAP), with
+            # analytic weight bytes — conv unrolls dominate; the dense
+            # heads are counted via a copies multiplier below.
+            from ..pallas.act import ACT_VMEM_CAP, act_vmem_estimate
+
             side = (env_cfg.height if env_cfg.global_obs
                     else env_cfg.window_size)
             sub = (model.policies[0] if policy_groups is not None
@@ -181,10 +188,16 @@ def make_train(
             chans = (env_cfg.num_obs_channels, *sub.channels)
             wb = sum(4 * (side * side) ** 2 * chans[i] * chans[i + 1]
                      for i in range(len(chans) - 1))
-            if wb > 48 * 1024 * 1024:
+            # Dense trunk + heads: side²·c_last → hidden → 6-row head.
+            wb += 4 * (side * side * chans[-1] + 8) * tcfg.hidden_dim
+            wb *= (max(policy_groups) + 1) if policy_groups else 1
+            est = act_vmem_estimate(
+                env_cfg, tcfg.unroll_length, tcfg.pallas_block, wb)
+            if est > ACT_VMEM_CAP:
                 problems.append(
-                    f"cnn unrolled conv weights ~{wb >> 20}MB exceed "
-                    "the act kernel's VMEM budget")
+                    f"cnn act-kernel VMEM estimate ~{est >> 20}MB "
+                    f"(unrolled conv weights ~{wb >> 20}MB) exceeds "
+                    f"the {ACT_VMEM_CAP >> 20}MB cap")
         if env_cfg.max_steps % tcfg.unroll_length:
             problems.append("max_steps % unroll_length != 0")
         if b_local % tcfg.pallas_block:
@@ -761,4 +774,6 @@ class PPOTrainer(NamedTuple):
     env_cfg: EnvConfig
     tcfg: TrainConfig
     mesh: Any
-    backends: dict = {}     # RESOLVED {"rollout": ..., "grad": ...}
+    # RESOLVED {"rollout": ..., "grad": ...}; immutable default so no
+    # dict is shared across instances (ADVICE r4).
+    backends: Mapping = MappingProxyType({})
