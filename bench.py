@@ -120,7 +120,12 @@ def bench_pallas(jax, jnp):
     floor = readback_floor()
     cal_denom = min(ep_times) - floor
     cal_sps = B * T / cal_denom if cal_denom > 0 else None
-    return agg_sps, ep_times, cal_sps
+    # Roofline position of the calibrated episode (VERDICT r4 item 1).
+    from warehouse_tpu.utils import roofline as rl
+
+    roof = (rl.report(rl.greedy_rollout_cost(cfg, B), cal_denom)
+            if cal_denom and cal_denom > 0 else None)
+    return agg_sps, ep_times, cal_sps, roof
 
 
 def bench_engine(jax, jnp):
@@ -219,8 +224,14 @@ def bench_trained(jax, jnp, family="ppo", backend="pallas"):
     # Spread across timed blocks: chip-weather diagnostic (a wide
     # spread means tunnel variance, not a code regression).
     spread = round(max(times) / best, 2)
+    # Roofline position (VERDICT r4 item 1): analytic FLOPs/bytes per
+    # update vs the v5e peaks (warehouse_tpu/utils/roofline.py).
+    from warehouse_tpu.utils import roofline as rl
+
+    roof = rl.report(rl.family_cost(family, medium_config(), tcfg),
+                     best / n)
     return (n * tcfg.num_envs * tcfg.unroll_length / best, spread,
-            trainer.backends)
+            trainer.backends, roof)
 
 
 def run_path(path: str) -> None:
@@ -232,23 +243,25 @@ def run_path(path: str) -> None:
 
     enable_compilation_cache()
     if path == "pallas":
-        sps, ep_times, cal_sps = bench_pallas(jax, jnp)
+        sps, ep_times, cal_sps, roof = bench_pallas(jax, jnp)
         out = {"sps": sps, "ep_times": ep_times, "cal_sps": cal_sps,
-               "n_chips": jax.device_count()}
+               "roofline": roof, "n_chips": jax.device_count()}
     elif path == "engine":
         out = {"sps": bench_engine(jax, jnp)}
     elif path in ("ppo", "impala", "ppo_rnn"):
         # Trained paths: the fused Pallas act-phase backend
         # (pallas/act.py); each falls back to the XLA scan backend.
         try:
-            sps, spread, resolved = bench_trained(jax, jnp, path, "pallas")
+            sps, spread, resolved, roof = bench_trained(
+                jax, jnp, path, "pallas")
             out = {"sps": sps, "spread": spread, "backend": "pallas",
-                   "resolved": resolved}
+                   "resolved": resolved, "roofline": roof}
         except Exception as e:
             _progress(f"{path} pallas backend FAILED: {e!r}")
-            sps, spread, resolved = bench_trained(jax, jnp, path, "xla")
+            sps, spread, resolved, roof = bench_trained(
+                jax, jnp, path, "xla")
             out = {"sps": sps, "spread": spread, "backend": "xla",
-                   "resolved": resolved}
+                   "resolved": resolved, "roofline": roof}
     else:
         raise SystemExit(f"unknown path {path!r}")
     print("RESULT " + json.dumps(out))
@@ -353,6 +366,19 @@ def main() -> None:
                     round(pallas["cal_sps"])
                     if pallas and pallas.get("cal_sps") else None
                 ),
+                # Roofline positions per path (VERDICT r4 item 1):
+                # achieved TFLOP/s & GB/s vs v5e peaks + speed-of-light
+                # fraction, from the analytic cost models
+                # (warehouse_tpu/utils/roofline.py; docs/RESULTS.md
+                # "roofline" section for the per-phase split).
+                "roofline": {
+                    "greedy": pallas.get("roofline") if pallas else None,
+                    "ppo": ppo.get("roofline") if ppo else None,
+                    "impala": impala.get("roofline") if impala else None,
+                    "ppo_rnn": (
+                        ppo_rnn.get("roofline") if ppo_rnn else None
+                    ),
+                },
             }
         )
     )

@@ -169,6 +169,25 @@ def make_train(
         if arch not in ("mlp", "cnn"):
             problems.append(
                 f"arch={arch!r} (kernel implements MLP/CNN)")
+        elif arch == "mlp":
+            # Same VMEM-budget check as the cnn branch below: a large
+            # pallas_block can push the double-buffered obs/talp output
+            # blocks past the cap even with small MLP weights (measured:
+            # block=2048 at config-4 shapes wants ~145MB; v5e VMEM is
+            # 128MB) — fall back named rather than OOM in Mosaic.
+            from ..pallas.act import ACT_VMEM_CAP, act_vmem_estimate
+
+            H, L = tcfg.hidden_dim, tcfg.num_layers
+            Dp = (env_cfg.obs_dim + 7) // 8 * 8
+            wb = 4 * (Dp * H + H + (L - 1) * (H * H + H) + 8 * H + 8)
+            wb *= (max(policy_groups) + 1) if policy_groups else 1
+            est = act_vmem_estimate(
+                env_cfg, tcfg.unroll_length, tcfg.pallas_block, wb)
+            if est > ACT_VMEM_CAP:
+                problems.append(
+                    f"act-kernel VMEM estimate ~{est >> 20}MB (block="
+                    f"{tcfg.pallas_block}) exceeds the "
+                    f"{ACT_VMEM_CAP >> 20}MB cap")
         elif arch == "cnn":
             # The unrolled conv matrices must fit the kernel's VMEM
             # budget alongside the block buffers — global-obs CNN on a
