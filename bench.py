@@ -1,4 +1,4 @@
-"""Throughput benchmark on 1 chip, five paths, ONE JSON line.
+"""Throughput benchmark on 1 chip, six paths, ONE JSON line.
 
 Paths reported (BASELINE.json configs 2 & 4):
 
@@ -15,6 +15,9 @@ Paths reported (BASELINE.json configs 2 & 4):
   what a default ``python -m warehouse_tpu.train`` run gets).
 - ``impala``  — trained V-trace actor-learner, same config-4 shapes.
 - ``ppo_rnn`` — trained recurrent (GRU) PPO, same config-4 shapes.
+- ``lstm``    — trained recurrent (LSTM) PPO, same config-4 shapes
+  (VERDICT r4 weak 6: the LSTM fused replay gets a driver-captured
+  number, not just builder-run A/Bs).
 
 North-star metric (BASELINE.json:2): env-steps/s per chip; the aggregate
 target is >10M env-steps/s on v5e-16, i.e. 625k/chip — ``vs_baseline``
@@ -47,7 +50,7 @@ PER_CHIP_TARGET = 10_000_000 / 16
 # of sinking the whole bench (observed 2026-08-20: the tunnel's compile
 # service went down for >1h while cached programs kept executing).
 PATH_BUDGET_S = {"pallas": 1800, "engine": 900, "ppo": 1500,
-                 "impala": 1500, "ppo_rnn": 2100}
+                 "impala": 1500, "ppo_rnn": 2100, "lstm": 2100}
 # ppo_rnn gets the largest budget: a cold GRU train_many compile was
 # measured at ~20 min on a slow-tunnel day (cached thereafter).
 
@@ -192,17 +195,18 @@ def bench_trained(jax, jnp, family="ppo", backend="pallas"):
         from warehouse_tpu.train.impala import make_train_impala
 
         trainer = make_train_impala(medium_config(), tcfg)
-    elif family == "ppo_rnn":
+    elif family in ("ppo_rnn", "lstm"):
         from warehouse_tpu.train.ppo_rnn import make_train_rnn
 
         if backend == "pallas":
-            # Recurrent fast path: f32 GRU act kernel + the fused bf16
-            # sequence-replay SGD kernel (pallas/sgd_rnn.py, round 4;
-            # grad_backend="auto" resolves to it on the chip). bf16
+            # Recurrent fast path: f32 GRU/LSTM act kernel + the fused
+            # bf16 sequence-replay SGD kernel (pallas/sgd_rnn.py, round
+            # 4; grad_backend="auto" resolves to it on the chip). bf16
             # matmuls are the measured win — the replay is matmul-bound
             # (docs/RESULTS.md r3s1/r4).
             tcfg = tcfg.replace(model_dtype="bfloat16")
-        trainer = make_train_rnn(medium_config(), tcfg, arch="gru")
+        cell = "lstm" if family == "lstm" else "gru"
+        trainer = make_train_rnn(medium_config(), tcfg, arch=cell)
     else:
         raise SystemExit(f"unknown trained family {family!r}")
     _progress(f"{family}[{backend}]: compiling train_many (config 4) …")
@@ -248,7 +252,7 @@ def run_path(path: str) -> None:
                "roofline": roof, "n_chips": jax.device_count()}
     elif path == "engine":
         out = {"sps": bench_engine(jax, jnp)}
-    elif path in ("ppo", "impala", "ppo_rnn"):
+    elif path in ("ppo", "impala", "ppo_rnn", "lstm"):
         # Trained paths: the fused Pallas act-phase backend
         # (pallas/act.py); each falls back to the XLA scan backend.
         try:
@@ -294,6 +298,7 @@ def main() -> None:
     ppo = _run_isolated("ppo")
     impala = _run_isolated("impala")
     ppo_rnn = _run_isolated("ppo_rnn")
+    lstm = _run_isolated("lstm")
 
     pallas_sps = pallas["sps"] if pallas else None
     ep_times = pallas["ep_times"] if pallas else []
@@ -354,6 +359,12 @@ def main() -> None:
                 "ppo_rnn_spread": (
                     ppo_rnn.get("spread") if ppo_rnn else None
                 ),
+                "lstm_steps_per_s": (
+                    round(lstm["sps"]) if lstm else None
+                ),
+                "lstm_backend": lstm["backend"] if lstm else None,
+                "lstm_spread": lstm.get("spread") if lstm else None,
+                "lstm_resolved": lstm.get("resolved") if lstm else None,
                 "pallas_episode_s": ep_times,
                 "pallas_episode_spread": (
                     round(max(ep_times) / min(ep_times), 2)
@@ -378,6 +389,7 @@ def main() -> None:
                     "ppo_rnn": (
                         ppo_rnn.get("roofline") if ppo_rnn else None
                     ),
+                    "lstm": lstm.get("roofline") if lstm else None,
                 },
             }
         )

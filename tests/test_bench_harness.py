@@ -67,3 +67,4 @@ def test_main_emits_json_with_all_paths_null(monkeypatch, capsys):
     assert d["value"] == 0
     assert d["ppo_trained_steps_per_s"] is None
     assert d["engine_path_steps_per_s"] is None
+    assert d["lstm_steps_per_s"] is None

@@ -133,11 +133,20 @@ def _feat_rows(cfg: EnvConfig, i: int, p_r, p_c, has_i, carrying,
 
 def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
               q_pr, q_pc, q_dr, q_dc, q_st):
-    """Agent ``i``'s ego-window observation as a list of [1, B] f32
-    rows in the exact spec order of ``ops/obs.py`` ([S, S, 4]
-    channel-last ravel then the 6 self features, docs/SEMANTICS.md
-    §10). Bit-exact: the same boolean compares and the same
-    explicit-reciprocal normalization."""
+    """Agent ``i``'s ego-window observation as ONE [D, B] f32 tensor
+    in the exact spec order of ``ops/obs.py`` ([S, S, 4] channel-last
+    ravel then the 6 self features, docs/SEMANTICS.md §10). Bit-exact:
+    the same boolean compares and the same explicit-reciprocal
+    normalization.
+
+    Sublane-vectorized (round-5 roofline finding, docs/RESULTS.md r5):
+    each channel is computed for ALL S² window positions at once as an
+    [S², B] plane (window coordinates from a broadcasted iota), so the
+    A-agent / R-request or-chains issue on ~S²/8-sublane-tile vregs
+    instead of S² separate [1, B] rows at 1/8 sublane utilization —
+    ~6x fewer VPU instructions for the same boolean math. Only the
+    final interleave back to the spec's channel-last row order remains
+    row-granular (plain copies, no compute)."""
     A, R, H, W = (cfg.num_agents, cfg.queue_capacity, cfg.height,
                   cfg.width)
     S, k = cfg.window_size, cfg.obs_radius
@@ -146,77 +155,84 @@ def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
     has_i, carrying, tgt_r, tgt_c = _target_rows(
         cfg, i, p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc)
 
-    rows = []
-    for w in range(S * S):
-        dr = w // S - k
-        dc = w % S - k
-        wr = p_r[i] + dr
-        wc = p_c[i] + dc
-        # ch0: any agent on the cell.
-        ch0 = jnp.zeros_like(has_i)
-        for j in range(A):
-            ch0 = ch0 | ((wr == p_r[j]) & (wc == p_c[j]))
-        # ch1: pending pickup on the cell.
-        ch1 = jnp.zeros_like(has_i)
-        for r in range(R):
-            ch1 = ch1 | (
-                (wr == q_pr[r]) & (wc == q_pc[r]) & (q_st[r] == PENDING)
-            )
-        # ch2: own target on the cell.
-        ch2 = (wr == tgt_r) & (wc == tgt_c) & has_i
-        # ch3: inside the grid and not a wall (§1a).
-        ch3 = (wr >= 0) & (wr < H) & (wc >= 0) & (wc < W)
-        for wcell in cfg.walls:
-            ch3 = ch3 & ~((wr == wcell // W) & (wc == wcell % W))
-        rows.extend([f32(ch0), f32(ch1), f32(ch2), f32(ch3)])
+    B = p_r[i].shape[-1]
+    n = S * S
+    widx = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
+    wr = p_r[i] + (widx // S - k)                      # [n, B]
+    wc = p_c[i] + (widx % S - k)
+    never = widx < 0                                   # all-False plane
+    # ch0: any agent on the cell.
+    ch0 = never
+    for j in range(A):
+        ch0 = ch0 | ((wr == p_r[j]) & (wc == p_c[j]))
+    # ch1: pending pickup on the cell.
+    ch1 = never
+    for r in range(R):
+        ch1 = ch1 | (
+            (wr == q_pr[r]) & (wc == q_pc[r]) & (q_st[r] == PENDING)
+        )
+    # ch2: own target on the cell.
+    ch2 = (wr == tgt_r) & (wc == tgt_c) & has_i
+    # ch3: inside the grid and not a wall (§1a).
+    ch3 = (wr >= 0) & (wr < H) & (wc >= 0) & (wc < W)
+    for wcell in cfg.walls:
+        ch3 = ch3 & ~((wr == wcell // W) & (wc == wcell % W))
 
+    planes = (f32(ch0), f32(ch1), f32(ch2), f32(ch3))
+    rows = [planes[ch][w:w + 1, :] for w in range(n) for ch in range(4)]
     rows.extend(_feat_rows(cfg, i, p_r, p_c, has_i, carrying,
                            tgt_r, tgt_c))
-    return rows
+    return jnp.concatenate(rows, axis=0)
 
 
 def _obs_rows_global(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
                      q_pr, q_pc, q_dr, q_dc, q_st):
-    """Agent ``i``'s GLOBAL-view observation rows ([H, W, 5]
-    channel-last ravel then the 6 self features) — the exact twin of
-    ``ops/obs.py observe``'s global branch (docs/SEMANTICS.md §10):
-    ch0 self position, ch1 other agents, ch2 pending pickups, ch3 own
-    target, ch4 traversable (static per config)."""
+    """Agent ``i``'s GLOBAL-view observation as ONE [D, B] f32 tensor
+    ([H, W, 5] channel-last ravel then the 6 self features) — the
+    exact twin of ``ops/obs.py observe``'s global branch
+    (docs/SEMANTICS.md §10): ch0 self position, ch1 other agents, ch2
+    pending pickups, ch3 own target, ch4 traversable (static per
+    config). Sublane-vectorized like ``_obs_rows``: each channel is an
+    [H*W, B] plane over a cell-index iota."""
     A, R, H, W = (cfg.num_agents, cfg.queue_capacity, cfg.height,
                   cfg.width)
     f32 = _f32
-    wall_set = set(cfg.walls)
 
     has_i, carrying, tgt_r, tgt_c = _target_rows(
         cfg, i, p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc)
 
-    rows = []
-    for w in range(H * W):
-        r_, c_ = w // W, w % W
-        ch_self = (p_r[i] == r_) & (p_c[i] == c_)
-        others = jnp.zeros_like(has_i)
-        for j in range(A):
-            if j != i:
-                others = others | ((p_r[j] == r_) & (p_c[j] == c_))
-        # observe() computes others = any_agent & ~self; identical to
-        # the union over j != i because cells hold at most one agent
-        # (engine invariant) — but replicate the & ~self exactly.
-        others = others & ~ch_self
-        pend = jnp.zeros_like(has_i)
-        for rq in range(R):
-            pend = pend | (
-                (q_pr[rq] == r_) & (q_pc[rq] == c_)
-                & (q_st[rq] == PENDING)
-            )
-        ch_tgt = (tgt_r == r_) & (tgt_c == c_) & has_i
-        free_row = jnp.full(p_r[i].shape,
-                            0.0 if w in wall_set else 1.0, jnp.float32)
-        rows.extend([f32(ch_self), f32(others), f32(pend),
-                     f32(ch_tgt), free_row])
+    B = p_r[i].shape[-1]
+    n = H * W
+    widx = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
+    r_ = widx // W
+    c_ = widx % W
+    never = widx < 0                                   # all-False plane
+    ch_self = (p_r[i] == r_) & (p_c[i] == c_)
+    others = never
+    for j in range(A):
+        if j != i:
+            others = others | ((p_r[j] == r_) & (p_c[j] == c_))
+    # observe() computes others = any_agent & ~self; identical to
+    # the union over j != i because cells hold at most one agent
+    # (engine invariant) — but replicate the & ~self exactly.
+    others = others & ~ch_self
+    pend = never
+    for rq in range(R):
+        pend = pend | (
+            (q_pr[rq] == r_) & (q_pc[rq] == c_) & (q_st[rq] == PENDING)
+        )
+    ch_tgt = (tgt_r == r_) & (tgt_c == c_) & has_i
+    # ch4 traversable: 1.0 except wall cells (static per config) —
+    # the exact 0.0/1.0 values of observe()'s free map.
+    free = jnp.ones((n, B), jnp.float32)
+    for wcell in cfg.walls:
+        free = jnp.where(widx == wcell, 0.0, free)
 
+    planes = (f32(ch_self), f32(others), f32(pend), f32(ch_tgt), free)
+    rows = [planes[ch][w:w + 1, :] for w in range(n) for ch in range(5)]
     rows.extend(_feat_rows(cfg, i, p_r, p_c, has_i, carrying,
                            tgt_r, tgt_c))
-    return rows
+    return jnp.concatenate(rows, axis=0)
 
 
 NEG_INF = -1e9  # logits floor for masked actions (ops/ppo_update.py)
@@ -373,12 +389,12 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
 
         xs = []
         for i in range(A):
-            obs_rows = obs_rows_fn(cfg, i, p_r, p_c, aq, cy,
-                                   q_pr, q_pc, q_dr, q_dc, q_st)
+            x = obs_rows_fn(cfg, i, p_r, p_c, aq, cy,
+                            q_pr, q_pc, q_dr, q_dc, q_st)  # [D, B]
             if Dp > D:
-                pad = jnp.zeros_like(obs_rows[0])
-                obs_rows = obs_rows + [pad] * (Dp - D)
-            x = jnp.concatenate(obs_rows, axis=0)         # [Dp, B]
+                x = jnp.concatenate(
+                    [x, jnp.zeros((Dp - D, x.shape[1]), jnp.float32)],
+                    axis=0)                               # [Dp, B]
             o_obs[pl.ds((t * A + i) * Dp, Dp), :] = x
             xs.append(x)
 
@@ -559,12 +575,12 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
 
         act = []
         for i in range(A):
-            obs_rows = _obs_rows(cfg, i, p_r, p_c, aq, cy,
-                                 q_pr, q_pc, q_dr, q_dc, q_st)
+            x = _obs_rows(cfg, i, p_r, p_c, aq, cy,
+                          q_pr, q_pc, q_dr, q_dc, q_st)    # [D, B]
             if Dp > D:
-                pad = jnp.zeros_like(obs_rows[0])
-                obs_rows = obs_rows + [pad] * (Dp - D)
-            x = jnp.concatenate(obs_rows, axis=0)
+                x = jnp.concatenate(
+                    [x, jnp.zeros((Dp - D, x.shape[1]), jnp.float32)],
+                    axis=0)
             o_obs[pl.ds((t * A + i) * Dp, Dp), :] = x
 
             e = x[:D, :]
