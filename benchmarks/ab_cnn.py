@@ -47,9 +47,14 @@ def main() -> None:
     base = TrainConfig(num_envs=args.num_envs, unroll_length=16,
                        rollout_backend="pallas", grad_backend="xla")
     variants = {
-        # Production CNN config: fused acting + XLA learner.
+        # Fused acting + XLA learner (the pre-round-5 production path).
         "cnn": base,
         "cnn_e8": base.replace(ppo_epochs=8),
+        # FULLY fused: acting + the unrolled-dense CNN SGD kernel
+        # (pallas/sgd_cnn.py, round 5).
+        "cnn_fused": base.replace(grad_backend="pallas"),
+        "cnn_fused_e8": base.replace(grad_backend="pallas",
+                                     ppo_epochs=8),
         # All-XLA CNN (is the act kernel still paying at CNN sizes?).
         "cnn_xla_act": base.replace(rollout_backend="xla"),
         # MLP reference at identical shapes/cadence (same process).
@@ -91,18 +96,24 @@ def main() -> None:
             "per_update_ms": round(per * 1e3, 3),
             "env_steps_per_s": round(steps / (min(times) - floor)),
         }))
-    learner = per_ms["cnn_e8"] - per_ms["cnn"]
-    act = per_ms["cnn"] - learner
     cost = rl.cnn_sgd_cost(env_cfg, TrainConfig(
         num_envs=args.num_envs, unroll_length=16))
-    rep = rl.report(cost, learner / 1e3)
-    print(json.dumps({
-        "stage": "cnn_split",
-        "learner_phase_ms": round(learner, 3),
-        "act_plus_glue_ms": round(act, 3),
-        "learner_share_pct": round(100 * learner / per_ms["cnn"], 1),
-        "learner_roofline": rep,
-    }))
+    for tag in ("cnn", "cnn_fused"):
+        if tag + "_e8" not in per_ms:
+            continue
+        learner = per_ms[tag + "_e8"] - per_ms[tag]
+        act = per_ms[tag] - learner
+        rep = rl.report(cost, learner / 1e3)
+        print(json.dumps({
+            "stage": tag + "_split",
+            "learner_phase_ms": round(learner, 3),
+            "act_plus_glue_ms": round(act, 3),
+            "learner_share_pct": round(100 * learner / per_ms[tag], 1),
+            # NOTE: the roofline uses the TRUE-conv FLOP count; the
+            # fused kernel executes 25/9x those FLOPs in unrolled form,
+            # so its sol_frac understates its retired FLOP/s.
+            "learner_roofline": rep,
+        }))
 
 
 if __name__ == "__main__":

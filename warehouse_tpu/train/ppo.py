@@ -228,15 +228,44 @@ def make_train(
         return problems
 
     def _grad_problems(check_lanes: bool):
-        # The fused SGD-phase kernel's envelope (pallas/sgd.py).
+        # The fused SGD-phase kernel's envelope (pallas/sgd.py; CNN
+        # via pallas/sgd_cnn.py since round 5 — unrolled-dense convs
+        # with grads folded onto the shared 3x3 kernels, measured
+        # rationale in benchmarks/ab_cnn.py / docs/RESULTS.md r5).
         # Minibatch composition is randomized by permuting the ENV
         # STATE once per update, so the only supported cadence is the
         # default env/once one.
         from ..pallas.sgd import resolve_block_envs
 
         problems = []
-        if arch != "mlp":
-            problems.append(f"arch={arch!r} (kernel implements MLP)")
+        if arch not in ("mlp", "cnn"):
+            problems.append(f"arch={arch!r} (kernel implements MLP/CNN)")
+        elif arch == "cnn":
+            if policy_groups is not None:
+                problems.append(
+                    "policy_groups with arch='cnn' (the fused CNN "
+                    "learner is single-policy)")
+            else:
+                # The unrolled conv matrices + grad accumulators +
+                # activation working set must fit VMEM even at the
+                # smallest env block — same arithmetic the kernel's
+                # block resolution uses (pallas/sgd_cnn.py).
+                from ..pallas.sgd import _pick_k_ta
+                from ..pallas.sgd_cnn import (
+                    CNN_VMEM_BUDGET,
+                    cnn_sgd_vmem_estimate,
+                )
+
+                chans = (env_cfg.num_obs_channels, *model.channels)
+                ta = tcfg.unroll_length * env_cfg.num_agents
+                k_ta = _pick_k_ta(ta, tcfg.sgd_rows_per_block, 1)
+                est = cnn_sgd_vmem_estimate(
+                    env_cfg, tcfg, chans, 128, k_ta)
+                if est > CNN_VMEM_BUDGET:
+                    problems.append(
+                        f"cnn SGD-kernel VMEM estimate ~{est >> 20}MB"
+                        " at the smallest env block exceeds the "
+                        f"{CNN_VMEM_BUDGET >> 20}MB budget")
         if not use_state_shuffle:
             problems.append("epoch_shuffle != 'once' or "
                             "minibatch_mode != 'env'")
@@ -627,9 +656,24 @@ def make_train(
             block_envs=tcfg.sgd_block_envs,
             rows_per_block=tcfg.sgd_rows_per_block,
             matmul_dtype=tcfg.model_dtype,
-            policy_groups=policy_groups,
             interpret=tcfg.pallas_interpret,
         )
+        if arch == "cnn":
+            # CNN torso: the unrolled-dense conv kernel
+            # (pallas/sgd_cnn.py) — single policy, same contract.
+            from ..pallas.sgd_cnn import (
+                ppo_cnn_minibatch_grads_pallas,
+                ppo_cnn_sgd_phase_pallas,
+            )
+
+            phase_fn = partial(ppo_cnn_sgd_phase_pallas,
+                               env_cfg=env_cfg, tcfg=tcfg)
+            grads_fn = partial(ppo_cnn_minibatch_grads_pallas,
+                               env_cfg=env_cfg, tcfg=tcfg)
+        else:
+            kw["policy_groups"] = policy_groups
+            phase_fn = ppo_sgd_phase_pallas
+            grads_fn = ppo_minibatch_grads_pallas
         if mesh is None:
             count0, _, _ = find_adam_state(rs.opt_state)
             steps = count0 + jnp.arange(n_steps)
@@ -640,7 +684,7 @@ def make_train(
             cnt = (steps + 1).astype(jnp.float32)
             bc1_row = 1.0 - ADAM_B1 ** cnt
             bc2_row = 1.0 - ADAM_B2 ** cnt
-            return ppo_sgd_phase_pallas(
+            return phase_fn(
                 params, rs.opt_state, obs_bm, fields,
                 lr_row, bc1_row, bc2_row, ent_coef, rs.kl_coeff,
                 num_epochs=tcfg.ppo_epochs,
@@ -651,7 +695,7 @@ def make_train(
         opt_state = rs.opt_state
         rows = []
         for s in range(n_steps):
-            (loss, aux), grads = ppo_minibatch_grads_pallas(
+            (loss, aux), grads = grads_fn(
                 params, obs_bm, fields, s % M, ent_coef, rs.kl_coeff,
                 **kw)
             grads = jax.lax.pmean(grads, DATA_AXIS)
