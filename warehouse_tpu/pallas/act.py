@@ -90,40 +90,46 @@ def _f32(b):
 
 def _target_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
                  q_pr, q_pc, q_dr, q_dc):
-    """(has_i, carrying, tgt_r, tgt_c) [1, B] rows for agent ``i`` —
-    the §10 one-hot target read, drop-vs-pickup select."""
+    """(has_i, carrying, tgt_r, tgt_c) [1, B] rows for agent ``i``
+    from [A, B]/[R, B] state planes — the §10 one-hot target read
+    (vectorized masked-sum plane read, exactly the sequential where
+    chain it replaced), drop-vs-pickup select."""
+    from .rollout import _onehot_read
+
     R = cfg.queue_capacity
-    has_i = aq[i] >= 0
-    tpr = jnp.zeros_like(p_r[i])
-    tpc = jnp.zeros_like(p_r[i])
-    tdr = jnp.zeros_like(p_r[i])
-    tdc = jnp.zeros_like(p_r[i])
-    for r in range(R):
-        m = aq[i] == r
-        tpr = jnp.where(m, q_pr[r], tpr)
-        tpc = jnp.where(m, q_pc[r], tpc)
-        tdr = jnp.where(m, q_dr[r], tdr)
-        tdc = jnp.where(m, q_dc[r], tdc)
-    carrying = cy[i] != 0
+    aq_i = aq[i:i + 1, :]
+    p_r_i = p_r[i:i + 1, :]
+    p_c_i = p_c[i:i + 1, :]
+    has_i = aq_i >= 0
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, aq.shape[-1]), 0)
+    m = aq_i == r_iota
+    tpr = _onehot_read(m, q_pr)
+    tpc = _onehot_read(m, q_pc)
+    tdr = _onehot_read(m, q_dr)
+    tdc = _onehot_read(m, q_dc)
+    carrying = cy[i:i + 1, :] != 0
     tgt_r = jnp.where(carrying, tdr, tpr)
     tgt_c = jnp.where(carrying, tdc, tpc)
-    tgt_r = jnp.where(has_i, tgt_r, p_r[i])
-    tgt_c = jnp.where(has_i, tgt_c, p_c[i])
+    tgt_r = jnp.where(has_i, tgt_r, p_r_i)
+    tgt_c = jnp.where(has_i, tgt_c, p_c_i)
     return has_i, carrying, tgt_r, tgt_c
 
 
 def _feat_rows(cfg: EnvConfig, i: int, p_r, p_c, has_i, carrying,
                tgt_r, tgt_c):
-    """The 6 self-feature rows (§10), explicit-reciprocal normalized."""
+    """The 6 self-feature rows (§10), explicit-reciprocal normalized.
+    ``p_r``/``p_c`` are [A, B] planes."""
     import numpy as _np
 
     inv_h = float(_np.float32(1.0) / _np.float32(cfg.height))
     inv_w = float(_np.float32(1.0) / _np.float32(cfg.width))
-    delta_r = jnp.where(has_i, tgt_r - p_r[i], 0)
-    delta_c = jnp.where(has_i, tgt_c - p_c[i], 0)
+    p_r_i = p_r[i:i + 1, :]
+    p_c_i = p_c[i:i + 1, :]
+    delta_r = jnp.where(has_i, tgt_r - p_r_i, 0)
+    delta_c = jnp.where(has_i, tgt_c - p_c_i, 0)
     return [
-        p_r[i].astype(jnp.float32) * inv_h,
-        p_c[i].astype(jnp.float32) * inv_w,
+        p_r_i.astype(jnp.float32) * inv_h,
+        p_c_i.astype(jnp.float32) * inv_w,
         _f32(carrying),
         _f32(has_i),
         delta_r.astype(jnp.float32) * inv_h,
@@ -155,21 +161,22 @@ def _obs_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
     has_i, carrying, tgt_r, tgt_c = _target_rows(
         cfg, i, p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc)
 
-    B = p_r[i].shape[-1]
+    B = p_r.shape[-1]
     n = S * S
     widx = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
-    wr = p_r[i] + (widx // S - k)                      # [n, B]
-    wc = p_c[i] + (widx % S - k)
+    wr = p_r[i:i + 1, :] + (widx // S - k)             # [n, B]
+    wc = p_c[i:i + 1, :] + (widx % S - k)
     never = widx < 0                                   # all-False plane
     # ch0: any agent on the cell.
     ch0 = never
     for j in range(A):
-        ch0 = ch0 | ((wr == p_r[j]) & (wc == p_c[j]))
+        ch0 = ch0 | ((wr == p_r[j:j + 1, :]) & (wc == p_c[j:j + 1, :]))
     # ch1: pending pickup on the cell.
     ch1 = never
     for r in range(R):
         ch1 = ch1 | (
-            (wr == q_pr[r]) & (wc == q_pc[r]) & (q_st[r] == PENDING)
+            (wr == q_pr[r:r + 1, :]) & (wc == q_pc[r:r + 1, :])
+            & (q_st[r:r + 1, :] == PENDING)
         )
     # ch2: own target on the cell.
     ch2 = (wr == tgt_r) & (wc == tgt_c) & has_i
@@ -201,17 +208,18 @@ def _obs_rows_global(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
     has_i, carrying, tgt_r, tgt_c = _target_rows(
         cfg, i, p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc)
 
-    B = p_r[i].shape[-1]
+    B = p_r.shape[-1]
     n = H * W
     widx = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
     r_ = widx // W
     c_ = widx % W
     never = widx < 0                                   # all-False plane
-    ch_self = (p_r[i] == r_) & (p_c[i] == c_)
+    ch_self = (p_r[i:i + 1, :] == r_) & (p_c[i:i + 1, :] == c_)
     others = never
     for j in range(A):
         if j != i:
-            others = others | ((p_r[j] == r_) & (p_c[j] == c_))
+            others = others | ((p_r[j:j + 1, :] == r_)
+                               & (p_c[j:j + 1, :] == c_))
     # observe() computes others = any_agent & ~self; identical to
     # the union over j != i because cells hold at most one agent
     # (engine invariant) — but replicate the & ~self exactly.
@@ -219,7 +227,8 @@ def _obs_rows_global(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
     pend = never
     for rq in range(R):
         pend = pend | (
-            (q_pr[rq] == r_) & (q_pc[rq] == c_) & (q_st[rq] == PENDING)
+            (q_pr[rq:rq + 1, :] == r_) & (q_pc[rq:rq + 1, :] == c_)
+            & (q_st[rq:rq + 1, :] == PENDING)
         )
     ch_tgt = (tgt_r == r_) & (tgt_c == c_) & has_i
     # ch4 traversable: 1.0 except wall cells (static per config) —
@@ -260,20 +269,18 @@ def _phi_row(cfg: EnvConfig, tbl_ref, p_r_i, p_c_i, aq_i, cy_i,
              q_pr, q_pc, q_dr, q_dc):
     """Shaping potential φ(s) for one agent, [1, B] f32 — the exact
     twin of ``ops/pathing.py potential`` (one-hot table contraction;
-    every sum selects exactly one element, so it is bit-exact)."""
+    every sum selects exactly one element, so it is bit-exact).
+    ``q_*`` are [R, B] planes (one-hot masked-sum reads)."""
     from ..ops.pathing import UNREACHABLE
+    from .rollout import _onehot_read
 
     R, W, C = cfg.queue_capacity, cfg.width, cfg.num_cells
-    tpr = jnp.zeros_like(p_r_i)
-    tpc = jnp.zeros_like(p_r_i)
-    tdr = jnp.zeros_like(p_r_i)
-    tdc = jnp.zeros_like(p_r_i)
-    for r in range(R):
-        m = aq_i == r
-        tpr = jnp.where(m, q_pr[r], tpr)
-        tpc = jnp.where(m, q_pc[r], tpc)
-        tdr = jnp.where(m, q_dr[r], tdr)
-        tdc = jnp.where(m, q_dc[r], tdc)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, aq_i.shape[-1]), 0)
+    m = aq_i == r_iota
+    tpr = _onehot_read(m, q_pr)
+    tpc = _onehot_read(m, q_pc)
+    tdr = _onehot_read(m, q_dr)
+    tdc = _onehot_read(m, q_dc)
     carrying = cy_i != 0
     has = aq_i >= 0
     tgt_cell = (jnp.where(carrying, tdr, tpr) * W
@@ -338,13 +345,10 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
      o_rstat, o_ragent) = (next(it) for _ in range(10))
     o_obs, o_talp = next(it), next(it)
 
-    def rows(ref, n):
-        return tuple(ref[i:i + 1, :] for i in range(n))
-
     state0 = (
-        rows(pos_r, A), rows(pos_c, A), rows(areq, A), rows(carry, A),
-        rows(rp_r, R), rows(rp_c, R), rows(rd_r, R), rows(rd_c, R),
-        rows(rstat, R), rows(ragent, R),
+        pos_r[...], pos_c[...], areq[...], carry[...],
+        rp_r[...], rp_c[...], rd_r[...], rd_c[...],
+        rstat[...], ragent[...],
     )
 
     def step(t, s):
@@ -356,7 +360,8 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
         if shape_on:
             done_t = trunc_ref[pl.ds(t, 1), :]
             phi_pre = [
-                _phi_row(cfg, tbl_ref, p_r[i], p_c[i], aq[i], cy[i],
+                _phi_row(cfg, tbl_ref, p_r[i:i + 1, :], p_c[i:i + 1, :],
+                         aq[i:i + 1, :], cy[i:i + 1, :],
                          q_pr, q_pc, q_dr, q_dc)
                 for i in range(A)
             ]
@@ -415,7 +420,8 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
                 # Floor invalid logits BEFORE sampling (the XLA path's
                 # sample_action receives pre-masked logits); store the
                 # mask so the loss can re-apply it.
-                valid = _valid_action_rows(cfg, p_r[i], p_c[i])
+                valid = _valid_action_rows(cfg, p_r[i:i + 1, :],
+                                           p_c[i:i + 1, :])
                 masked = jnp.concatenate(
                     [jnp.where(valid[r], out[r:r + 1, :],
                                jnp.float32(NEG_INF))
@@ -444,17 +450,21 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
         for i in range(A):
             rew = (
                 cfg.step_penalty
-                + cfg.pickup_reward * picked[i].astype(jnp.float32)
-                + cfg.delivery_reward * delivered[i].astype(jnp.float32)
-                + cfg.collision_penalty * collided[i].astype(jnp.float32)
+                + cfg.pickup_reward
+                * picked[i:i + 1, :].astype(jnp.float32)
+                + cfg.delivery_reward
+                * delivered[i:i + 1, :].astype(jnp.float32)
+                + cfg.collision_penalty
+                * collided[i:i + 1, :].astype(jnp.float32)
             )
             base = (t * A + i) * 16
             if shape_on:
                 # Potential-based shaping on the POST-tick (pre-reset)
                 # state; the γ·φ(s') term is cut at the boundary
                 # exactly like the XLA path's (1 − done) factor.
-                phi_post = _phi_row(cfg, tbl_ref, p_r[i], p_c[i],
-                                    aq[i], cy[i], q_pr, q_pc, q_dr,
+                phi_post = _phi_row(cfg, tbl_ref, p_r[i:i + 1, :],
+                                    p_c[i:i + 1, :], aq[i:i + 1, :],
+                                    cy[i:i + 1, :], q_pr, q_pc, q_dr,
                                     q_dc)
                 shaped = rew + shaping_coef * (
                     gamma * phi_post * (1.0 - done_t) - phi_pre[i])
@@ -463,23 +473,23 @@ def _act_kernel(cfg: EnvConfig, T: int, n_hidden: int, mask_act: bool,
             else:
                 o_talp[pl.ds(base + 3, 1), :] = rew
             o_talp[pl.ds(base + 4, 1), :] = (
-                delivered[i].astype(jnp.float32)
+                delivered[i:i + 1, :].astype(jnp.float32)
             )
 
         return (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag)
 
     out = jax.lax.fori_loop(0, T, step, state0)
     (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag) = out
-    o_pos_r[:] = jnp.concatenate(p_r, axis=0)
-    o_pos_c[:] = jnp.concatenate(p_c, axis=0)
-    o_areq[:] = jnp.concatenate(aq, axis=0)
-    o_carry[:] = jnp.concatenate(cy, axis=0)
-    o_rp_r[:] = jnp.concatenate(q_pr, axis=0)
-    o_rp_c[:] = jnp.concatenate(q_pc, axis=0)
-    o_rd_r[:] = jnp.concatenate(q_dr, axis=0)
-    o_rd_c[:] = jnp.concatenate(q_dc, axis=0)
-    o_rstat[:] = jnp.concatenate(q_st, axis=0)
-    o_ragent[:] = jnp.concatenate(q_ag, axis=0)
+    o_pos_r[:] = p_r
+    o_pos_c[:] = p_c
+    o_areq[:] = aq
+    o_carry[:] = cy
+    o_rp_r[:] = q_pr
+    o_rp_c[:] = q_pc
+    o_rd_r[:] = q_dr
+    o_rd_c[:] = q_dc
+    o_rstat[:] = q_st
+    o_ragent[:] = q_ag
 
 
 def _sample_logprob(out, g):
@@ -546,18 +556,15 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
     o_c = next(it) if lstm else None
     o_h, o_obs, o_talp = next(it), next(it), next(it)
 
-    def rows(ref, n):
-        return tuple(ref[i:i + 1, :] for i in range(n))
-
     def dot(w_ref, x):
         return jax.lax.dot_general(
             w_ref[...], x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     state0 = (
-        rows(pos_r, A), rows(pos_c, A), rows(areq, A), rows(carr, A),
-        rows(rp_r, R), rows(rp_c, R), rows(rd_r, R), rows(rd_c, R),
-        rows(rstat, R), rows(ragent, R),
+        pos_r[...], pos_c[...], areq[...], carr[...],
+        rp_r[...], rp_c[...], rd_r[...], rd_c[...],
+        rstat[...], ragent[...],
         (tuple(c_ref[i * H:(i + 1) * H, :] for i in range(A))
          if lstm else ()),
         tuple(h_ref[i * H:(i + 1) * H, :] for i in range(A)),
@@ -610,7 +617,8 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
             out = dot(wh_ref, h) + bh_ref[...]        # [8, B]
             base = (t * A + i) * 16
             if mask_act:
-                valid = _valid_action_rows(cfg, p_r[i], p_c[i])
+                valid = _valid_action_rows(cfg, p_r[i:i + 1, :],
+                                           p_c[i:i + 1, :])
                 out = jnp.concatenate(
                     [jnp.where(valid[r], out[r:r + 1, :],
                                jnp.float32(NEG_INF))
@@ -634,14 +642,17 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
         for i in range(A):
             rew = (
                 cfg.step_penalty
-                + cfg.pickup_reward * picked[i].astype(jnp.float32)
-                + cfg.delivery_reward * delivered[i].astype(jnp.float32)
-                + cfg.collision_penalty * collided[i].astype(jnp.float32)
+                + cfg.pickup_reward
+                * picked[i:i + 1, :].astype(jnp.float32)
+                + cfg.delivery_reward
+                * delivered[i:i + 1, :].astype(jnp.float32)
+                + cfg.collision_penalty
+                * collided[i:i + 1, :].astype(jnp.float32)
             )
             base = (t * A + i) * 16
             o_talp[pl.ds(base + 3, 1), :] = rew
             o_talp[pl.ds(base + 4, 1), :] = (
-                delivered[i].astype(jnp.float32))
+                delivered[i:i + 1, :].astype(jnp.float32))
 
         return (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
                 tuple(cs), tuple(hs))
@@ -649,16 +660,16 @@ def _act_rnn_kernel(cfg: EnvConfig, T: int, n_enc: int, H: int,
     out = jax.lax.fori_loop(0, T, step, state0)
     (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag, cs,
      hs) = out
-    o_pos_r[:] = jnp.concatenate(p_r, axis=0)
-    o_pos_c[:] = jnp.concatenate(p_c, axis=0)
-    o_areq[:] = jnp.concatenate(aq, axis=0)
-    o_carry[:] = jnp.concatenate(cy, axis=0)
-    o_rp_r[:] = jnp.concatenate(q_pr, axis=0)
-    o_rp_c[:] = jnp.concatenate(q_pc, axis=0)
-    o_rd_r[:] = jnp.concatenate(q_dr, axis=0)
-    o_rd_c[:] = jnp.concatenate(q_dc, axis=0)
-    o_rstat[:] = jnp.concatenate(q_st, axis=0)
-    o_ragent[:] = jnp.concatenate(q_ag, axis=0)
+    o_pos_r[:] = p_r
+    o_pos_c[:] = p_c
+    o_areq[:] = aq
+    o_carry[:] = cy
+    o_rp_r[:] = q_pr
+    o_rp_c[:] = q_pc
+    o_rd_r[:] = q_dr
+    o_rd_c[:] = q_dc
+    o_rstat[:] = q_st
+    o_ragent[:] = q_ag
     if lstm:
         o_c[:] = jnp.concatenate(cs, axis=0)
     o_h[:] = jnp.concatenate(hs, axis=0)

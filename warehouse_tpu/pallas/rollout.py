@@ -9,11 +9,15 @@ entity-major/batch-minor ([A, B] / [R, B]). The canonical random draws
 against the XLA engine (verified in tests/test_pallas.py) — the kernel
 changes the schedule, never the semantics.
 
-Mosaic notes: the step state is held as Python lists of [1, B] rows
-(agents/slots are unrolled — A, R ≤ 16), because indexed updates of
-[A, B] values lower to TPU `scatter`, which Mosaic does not implement.
-Every operation in the loop body is a plain elementwise op on [1, B]
-vectors.
+Mosaic notes: the step state is held as batch-minor PLANES ([A, B]
+agent rows, [R, B] request rows — round-5 vectorization, docs/RESULTS
+r5): request-slot scans run as single plane ops on 8-sublane vreg
+tiles, with one-hot reads as masked sums and first/nearest-slot scans
+as sublane min-reductions (exact original tie rules). Indexed updates
+of [A, B] values would lower to TPU `scatter` (unimplemented in
+Mosaic), so every plane update is a full-plane ``where`` against a
+static-iota mask; only the genuinely per-pair movement rules run on
+[1, B] row slices.
 
 Restrictions: ``auto_reset`` is not supported in-kernel (roll ≤
 max_steps, or reset outside); the policy is the greedy baseline (the PPO
@@ -37,10 +41,209 @@ EMPTY, PENDING, IN_TRANSIT = 0, 1, 2
 STAY, UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3, 4
 
 
+def _rows(plane, n):
+    """[n, B] plane -> tuple of [1, B] row views (static slices)."""
+    return tuple(plane[i:i + 1, :] for i in range(n))
+
+
+def _onehot_read(m, plane):
+    """Select ``plane[r]`` rows by the one-hot [R, B] mask ``m``
+    (exactly one true row per lane where any): a masked sum — exact
+    for ints and a single-term sum for floats, identical to the
+    sequential ``where`` chain it replaces."""
+    return jnp.sum(jnp.where(m, plane, 0), axis=0, keepdims=True)
+
+
 def env_tick(cfg: EnvConfig, p_r, p_c, aq, cy,
              q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
              act, u, spick, sdrop):
-    """One env tick on batch-minor [1, B] row lists, given per-agent
+    """One env tick on batch-minor planes ([A, B] agent rows /
+    [R, B] request rows), given per-agent action rows — the movement →
+    pickup → delivery → spawn → assignment sub-step sequence of
+    ``engine.step`` (docs/SEMANTICS.md §4–§8), shared by the greedy
+    kernel below and the act-phase kernels (``pallas/act.py``).
+    Bit-exactness vs the XLA engine is guarded by tests/test_pallas.py
+    through the greedy kernel.
+
+    Round-5 vectorization (docs/RESULTS.md r5 roofline): all R-loops
+    over request slots run as single [R, B]-plane ops (one 8-sublane
+    vreg tile at R = 8) — one-hot reads become masked sums, the
+    spawn's first-EMPTY-slot scan and the assignment's
+    nearest-PENDING argmin become sublane min-reductions with the
+    exact original tie rules (strict < keeps the lowest r). The
+    pairwise movement rules (A ≤ 8 agents) stay row-granular — their
+    logic is genuinely per-pair. Indexed [., B]-value updates would
+    lower to TPU scatter (unimplemented in Mosaic); every plane
+    update here is a full-plane ``where`` against a static-iota mask.
+
+    Returns the new planes plus ``(picked, delivered, collided)`` as
+    [A, B] int32 0/1 planes for the caller's reward accounting (bool
+    rows cannot be concatenated on Mosaic — mask-register cast).
+    """
+    A, R, H, W = (cfg.num_agents, cfg.queue_capacity, cfg.height,
+                  cfg.width)
+    BIGI = jnp.int32(1 << 30)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, q_st.shape[-1]), 0)
+
+    # ---- movement rules 1-4 (§4): per-pair logic on [1, B] rows -----
+    p_r_rows, p_c_rows = _rows(p_r, A), _rows(p_c, A)
+    prop_r, prop_c, moving = [], [], []
+    for i in range(A):
+        a = act[i]
+        dr = jnp.where(a == UP, -1, jnp.where(a == DOWN, 1, 0))
+        dc = jnp.where(a == LEFT, -1, jnp.where(a == RIGHT, 1, 0))
+        pr = p_r_rows[i] + dr
+        pc_ = p_c_rows[i] + dc
+        mv = (a != STAY) & (pr >= 0) & (pr < H) & (pc_ >= 0) & (pc_ < W)
+        for wcell in cfg.walls:  # static unrolled wall checks (§1a)
+            mv = mv & ~((pr == wcell // W) & (pc_ == wcell % W))
+        prop_r.append(jnp.where(mv, pr, p_r_rows[i]))
+        prop_c.append(jnp.where(mv, pc_, p_c_rows[i]))
+        moving.append(mv)
+
+    # rule 2: same target — lowest index wins.
+    for i in range(1, A):
+        lost = jnp.zeros_like(moving[i])
+        for j in range(i):
+            lost = lost | (
+                moving[i] & moving[j]
+                & (prop_r[i] == prop_r[j]) & (prop_c[i] == prop_c[j])
+            )
+        moving[i] = moving[i] & ~lost
+        prop_r[i] = jnp.where(moving[i], prop_r[i], p_r_rows[i])
+        prop_c[i] = jnp.where(moving[i], prop_c[i], p_c_rows[i])
+    # rule 3: swaps — both revert.
+    swap = [jnp.zeros_like(moving[i]) for i in range(A)]
+    for i in range(A):
+        for j in range(i + 1, A):
+            sw = (
+                moving[i] & moving[j]
+                & (prop_r[i] == p_r_rows[j]) & (prop_c[i] == p_c_rows[j])
+                & (prop_r[j] == p_r_rows[i]) & (prop_c[j] == p_c_rows[i])
+            )
+            swap[i] = swap[i] | sw
+            swap[j] = swap[j] | sw
+    for i in range(A):
+        moving[i] = moving[i] & ~swap[i]
+        prop_r[i] = jnp.where(moving[i], prop_r[i], p_r_rows[i])
+        prop_c[i] = jnp.where(moving[i], prop_c[i], p_c_rows[i])
+    # rule 4: blocked-cell fixed point, A passes.
+    for _ in range(A):
+        for i in range(A):
+            b = jnp.zeros_like(moving[i])
+            for j in range(A):
+                if j == i:
+                    continue
+                b = b | (
+                    moving[i] & ~moving[j]
+                    & (prop_r[i] == prop_r[j])
+                    & (prop_c[i] == prop_c[j])
+                )
+            # In-pass updates are fine: reverts only propagate.
+            moving[i] = moving[i] & ~b
+            prop_r[i] = jnp.where(moving[i], prop_r[i], p_r_rows[i])
+            prop_c[i] = jnp.where(moving[i], prop_c[i], p_c_rows[i])
+    # Bool [1, B] rows cannot be concatenated on Mosaic (mask-register
+    # cast) — the [A, B] result planes are int32 0/1.
+    collided = jnp.concatenate(
+        [((act[i] != STAY) & ~moving[i]).astype(jnp.int32)
+         for i in range(A)], axis=0)
+    p_r = jnp.concatenate(prop_r, axis=0)            # [A, B]
+    p_c = jnp.concatenate(prop_c, axis=0)
+
+    # ---- pickup (§5): one-hot plane reads of my request cells -------
+    aq_rows = _rows(aq, A)
+    cy_rows = _rows(cy, A)
+    picked_rows = []
+    for i in range(A):
+        m = aq_rows[i] == r_iota                      # [R, B] one-hot
+        my_st = _onehot_read(m, q_st)
+        tpr = _onehot_read(m, q_pr)
+        tpc = _onehot_read(m, q_pc)
+        pk = (
+            (aq_rows[i] >= 0) & (cy_rows[i] == 0) & (my_st == PENDING)
+            & (p_r[i:i + 1, :] == tpr) & (p_c[i:i + 1, :] == tpc)
+        )
+        picked_rows.append(pk)
+    picked = jnp.concatenate(
+        [pk.astype(jnp.int32) for pk in picked_rows], axis=0)  # [A, B]
+    cy = jnp.where(picked != 0, 1, cy)
+    sp = jnp.zeros_like(r_iota, jnp.bool_)
+    for i in range(A):
+        sp = sp | (picked_rows[i] & (aq_rows[i] == r_iota))
+    q_st = jnp.where(sp, IN_TRANSIT, q_st)
+
+    # ---- delivery (§5): reads the POST-pickup carry flags -----------
+    delivered_rows = []
+    for i in range(A):
+        m = aq_rows[i] == r_iota
+        tdr = _onehot_read(m, q_dr)
+        tdc = _onehot_read(m, q_dc)
+        dl = (
+            (aq_rows[i] >= 0) & (cy[i:i + 1, :] != 0)
+            & (p_r[i:i + 1, :] == tdr) & (p_c[i:i + 1, :] == tdc)
+        )
+        delivered_rows.append(dl)
+    delivered = jnp.concatenate(
+        [dl.astype(jnp.int32) for dl in delivered_rows], axis=0)
+    sd = jnp.zeros_like(r_iota, jnp.bool_)
+    for i in range(A):
+        sd = sd | (delivered_rows[i] & (aq_rows[i] == r_iota))
+    q_st = jnp.where(sd, EMPTY, q_st)
+    q_ag = jnp.where(sd, -1, q_ag)
+    q_pr = jnp.where(sd, 0, q_pr)
+    q_pc = jnp.where(sd, 0, q_pc)
+    q_dr = jnp.where(sd, 0, q_dr)
+    q_dc = jnp.where(sd, 0, q_dc)
+    aq = jnp.where(delivered != 0, -1, aq)
+    cy = jnp.where(delivered != 0, 0, cy)
+
+    # ---- spawn (§6): lowest-index EMPTY slot via min-reduction ------
+    ok = u < cfg.spawn_prob                           # [1, B]
+    first_empty = jnp.min(
+        jnp.where(q_st == EMPTY, r_iota, BIGI), axis=0, keepdims=True)
+    w = ok & (r_iota == first_empty)                  # [R, B]
+    q_pr = jnp.where(w, spick // W, q_pr)
+    q_pc = jnp.where(w, spick % W, q_pc)
+    q_dr = jnp.where(w, sdrop // W, q_dr)
+    q_dc = jnp.where(w, sdrop % W, q_dc)
+    q_st = jnp.where(w, PENDING, q_st)
+    q_ag = jnp.where(w, -1, q_ag)
+
+    # ---- assignment (§7): nearest-PENDING argmin per agent ----------
+    # Sequential over agents ON PURPOSE: agent i's take updates q_ag
+    # before agent i+1 scans (the §7 priority order). Ties at equal
+    # distance keep the LOWEST r — the min-reduction over the
+    # equal-to-best mask reproduces the original strict-< scan.
+    aq_out = []
+    for i in range(A):
+        need = aq[i:i + 1, :] < 0
+        avail = (q_st == PENDING) & (q_ag < 0)
+        d = (jnp.abs(p_r[i:i + 1, :] - q_pr)
+             + jnp.abs(p_c[i:i + 1, :] - q_pc))
+        dm = jnp.where(avail, d, BIGI)
+        best_d = jnp.min(dm, axis=0, keepdims=True)
+        best_r = jnp.min(
+            jnp.where(dm == best_d, r_iota, BIGI), axis=0,
+            keepdims=True)
+        take = need & (best_d < BIGI)
+        aq_out.append(jnp.where(take, best_r, aq[i:i + 1, :]))
+        q_ag = jnp.where(take & (r_iota == best_r), i, q_ag)
+    aq = jnp.concatenate(aq_out, axis=0)
+
+    return (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+            picked, delivered, collided)
+
+
+def env_tick_rows(cfg: EnvConfig, p_r, p_c, aq, cy,
+             q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
+             act, u, spick, sdrop):
+    """One env tick on batch-minor [1, B] ROW LISTS (the plane-free
+    variant) — kept for the greedy kernel, where the measured
+    plane version is ~18% SLOWER (docs/RESULTS.md r5: the tick is
+    the whole kernel there, and the plane form pays cross-sublane
+    slices/concats/min-reductions that the act kernels amortize
+    but the bare tick does not). Given per-agent
     actions — the movement → pickup → delivery → spawn → assignment
     sub-step sequence of ``engine.step`` (docs/SEMANTICS.md §4–§8),
     shared by the greedy kernel below and the act-phase PPO kernel
@@ -266,7 +469,7 @@ def _kernel(cfg: EnvConfig, T: int,
 
         # ---- shared env dynamics (§4–§7) -------------------------------
         (p_r, p_c, aq, cy, q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
-         picked, delivered, collided) = env_tick(
+         picked, delivered, collided) = env_tick_rows(
             cfg, p_r, p_c, aq, cy,
             q_pr, q_pc, q_dr, q_dc, q_st, q_ag,
             act, u, spick, sdrop)
