@@ -14,7 +14,13 @@ share).
 All variants interleaved in one process, floor-calibrated
 (docs/RESULTS.md measurement rules).
 
-Usage: python benchmarks/ab_attn.py [--updates 10] [--rounds 4]
+WATCHDOG (measured, docs/RESULTS.md r5): attn updates run ~7 s each at
+4096 envs, and a single device execution lasting longer than roughly a
+minute crashes the tunneled TPU worker (reproduced 4/4 at
+``train_many(10)``) — keep ``--updates`` at 3 so one timed block stays
+~20 s.
+
+Usage: python benchmarks/ab_attn.py [--updates 3] [--rounds 4]
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ sys.path.insert(0, ".")
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--updates", type=int, default=10)
+    p.add_argument("--updates", type=int, default=3)
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--num-envs", type=int, default=4096)
     args = p.parse_args()

@@ -265,8 +265,10 @@ def test_grad_backend_gate_raises():
         make_train(cfg, base.replace(micro_batches=2))
     with pytest.raises(ValueError, match="flat_optimizer"):
         make_train(cfg, base.replace(flat_optimizer=True))
+    # arch='cnn' is IN-envelope since round 5 (pallas/sgd_cnn.py);
+    # attn remains outside the fused learners.
     with pytest.raises(ValueError, match="arch"):
-        make_train(cfg, base, arch="cnn")
+        make_train(cfg, base, arch="attn")
     with pytest.raises(ValueError, match="grad_backend"):
         TrainConfig(grad_backend="bogus")
 
