@@ -211,10 +211,12 @@ def bench_trained(jax, jnp, family="ppo", backend="pallas"):
         raise SystemExit(f"unknown trained family {family!r}")
     _progress(f"{family}[{backend}]: compiling train_many (config 4) …")
     rs = trainer.init(jax.random.PRNGKey(0))
-    # 50 updates per timed block: timing is gated on a host readback
+    # 150 updates per timed block: timing is gated on a host readback
     # (the honest gate on this tunneled chip), which costs ~25 ms — at
-    # 10 updates that tax was ~30% of the measurement.
-    n = 50
+    # 50 updates that tax was still ~7% of a 4 ms/update family
+    # (round-5 act speedups made the tax visible again; 150 amortizes
+    # it under 2% while staying well inside the axon watchdog bound).
+    n = 150
     rs, m = trainer.train_many(rs, n)
     _ = float(m["loss"][-1])
     _progress(f"{family}[{backend}]: timing …")
