@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import EnvConfig
 from ..env.state import EnvState
 from .. import rng as _rng
-from .rollout import env_tick
+from .rollout import _onehot_read, env_tick
 
 PENDING = 1
 OBS_SLOT = -1  # set per-call: obs rows padded up to a multiple of 8
@@ -94,8 +94,6 @@ def _target_rows(cfg: EnvConfig, i: int, p_r, p_c, aq, cy,
     from [A, B]/[R, B] state planes — the §10 one-hot target read
     (vectorized masked-sum plane read, exactly the sequential where
     chain it replaced), drop-vs-pickup select."""
-    from .rollout import _onehot_read
-
     R = cfg.queue_capacity
     aq_i = aq[i:i + 1, :]
     p_r_i = p_r[i:i + 1, :]
@@ -272,8 +270,6 @@ def _phi_row(cfg: EnvConfig, tbl_ref, p_r_i, p_c_i, aq_i, cy_i,
     every sum selects exactly one element, so it is bit-exact).
     ``q_*`` are [R, B] planes (one-hot masked-sum reads)."""
     from ..ops.pathing import UNREACHABLE
-    from .rollout import _onehot_read
-
     R, W, C = cfg.queue_capacity, cfg.width, cfg.num_cells
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, aq_i.shape[-1]), 0)
     m = aq_i == r_iota
