@@ -6,10 +6,12 @@ the analytic cost model (warehouse_tpu/utils/roofline.py), and print
 achieved TFLOP/s / GB/s as a fraction of the v5e peaks plus the
 speed-of-light fraction per family.
 
-Families: ppo (act+sgd fused), impala (act+vtrace fused), gru / lstm
+Families: ppo (act+sgd fused), impala (act+vtrace fused), cnn
+(act+unrolled-conv sgd fused — true-conv FLOP count, so its sol_frac
+understates the unrolled kernel's retired rate), gru / lstm
 (act+replay fused), and the greedy whole-episode kernel. Whole-update
 numbers per family; the act/learner split per family is in the ab_*
-probes (ab_impala.py's passes trick, ab_rnn_sgd.py).
+probes (ab_impala.py's passes trick, ab_rnn_sgd.py, ab_cnn.py).
 
 Usage: python benchmarks/roofline.py [--updates 20] [--rounds 4]
 """
@@ -48,6 +50,7 @@ def main() -> None:
     variants = {
         "ppo": ("ppo", base),
         "impala": ("impala", base),
+        "cnn": ("cnn", base),
         "gru": ("gru", base.replace(model_dtype="bfloat16")),
         "lstm": ("lstm", base.replace(model_dtype="bfloat16")),
         # Phase isolation by differencing: doubling epochs/passes adds
@@ -76,6 +79,8 @@ def main() -> None:
     for name, (fam, tcfg) in variants.items():
         if fam == "ppo":
             tr = make_train(env_cfg, tcfg)
+        elif fam == "cnn":
+            tr = make_train(env_cfg, tcfg, arch="cnn")
         elif fam == "impala":
             tr = make_train_impala(env_cfg, tcfg)
         else:

@@ -74,10 +74,12 @@ def test_roofline_cost_models():
     tcfg = TrainConfig(num_envs=4096, unroll_length=16)
 
     costs = {f: rl.family_cost(f, cfg, tcfg)
-             for f in ("ppo", "impala", "gru", "lstm")}
+             for f in ("ppo", "impala", "gru", "lstm", "cnn")}
     for c in costs.values():
         assert c.mxu_flops > 0 and c.hbm_bytes > 0 and c.vpu_ops > 0
         assert c.unit_env_steps == 4096 * 16
+    # CNN torso (convs + dense trunk) > plain MLP on learner FLOPs.
+    assert costs["cnn"].mxu_flops > costs["ppo"].mxu_flops
     # LSTM (4 gates) > GRU (3 gates) > PPO MLP; IMPALA (1 pass) < PPO
     # (4 epochs) on learner FLOPs.
     assert costs["lstm"].mxu_flops > costs["gru"].mxu_flops

@@ -131,6 +131,10 @@ def act_phase_cost(cfg, tcfg, arch: str = "mlp") -> KernelCost:
     T, B = tcfg.unroll_length, tcfg.num_envs
     if arch in ("gru", "lstm"):
         fwd = rnn_fwd_flops(Dp, H, arch)
+    elif arch == "cnn":
+        # True-conv FLOP count; the act kernel executes the unrolled
+        # S²/9x form, so sol_frac understates its retired rate.
+        fwd = cnn_fwd_flops(cfg, H)
     else:
         fwd = mlp_fwd_flops(Dp, H, L)
     mxu = T * B * A * fwd
@@ -236,6 +240,9 @@ def family_cost(family: str, cfg, tcfg) -> KernelCost:
         cell = "lstm" if family == "lstm" else "gru"
         parts = (act_phase_cost(cfg, tcfg, cell),
                  rnn_sgd_cost(cfg, tcfg, cell))
+    elif family == "cnn":
+        parts = (act_phase_cost(cfg, tcfg, "cnn"),
+                 cnn_sgd_cost(cfg, tcfg))
     else:
         raise ValueError(f"no roofline model for family {family!r}")
     return KernelCost(
